@@ -1,0 +1,329 @@
+"""Stage 4 — schema-guided (subj, pred, obj) extraction over chunks.
+
+Reference: LLMEntityRelationExtractor
+(components/entity_relation_extractor.py:161-342).  Per chunk: format
+prompt → LLM → ``fix_invalid_json`` → parse → validate the
+``{"nodes": [{id,label,properties}], "relationships": [{type,
+start_node_id, end_node_id, properties}]}`` contract
+(generation/prompts.py:162-202) → namespace ids with the chunk uid
+(update_ids, :141-158) → emit FROM_CHUNK edges (lexical_graph.py:180-197).
+
+Spark-first mapping (SURVEY.md §2.7 X1-X3):
+  * the asyncio ``Semaphore(max_concurrency)`` disappears — parallelism is
+    Spark tasks × in-batch vectorization;
+  * chunks are repartitioned on ``chunk_uid`` (a hash) before the UDF:
+    conversation skew cannot concentrate work, the explicit requirement of
+    the north rule ("salted, size-bounded partitions");
+  * one mapInPandas pass emits node AND edge rows tagged with ``kind`` so
+    the (possibly expensive) model is invoked exactly once per chunk; the
+    caller persists/checkpoints the combined frame and splits it.
+
+The model is pluggable: any ``Callable[[list[str]], list[str]]`` mapping a
+batch of chunk texts to a batch of JSON strings (LLM client, local model,
+or the deterministic regex extractor below).  This mirrors the reference's
+LLMInterface slot (llm/base.py:28-117) batch-wise.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from typing import Callable, Iterator, List, Sequence, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from neo4j_graphrag_python_spark.functions.json_repair import (
+    InvalidJSONError,
+    fix_invalid_json,
+)
+from neo4j_graphrag_python_spark.schema import GraphSchema
+from neo4j_graphrag_python_spark.types import LexicalGraphConfig
+
+ExtractorFn = Callable[[List[str]], List[str]]
+
+GRAPH_ROWS_FIELDS = (
+    "kind string, id string, label string, properties map<string,string>, "
+    "start_node_id string, end_node_id string, type string, "
+    "conv_id string, chunk_uid string, status string"
+)
+
+
+class ExtractionError(RuntimeError):
+    """Raised in OnError.RAISE mode (reference LLMGenerationError analog)."""
+
+
+# ---------------------------------------------------------------------------
+# Deterministic extractor model (test/bench stand-in for the LLM)
+# ---------------------------------------------------------------------------
+
+RulePattern = Tuple[str, str, str, str]  # (regex, rel_type, subj_label, obj_label)
+
+
+def regex_extractor(rules: Sequence[RulePattern]) -> ExtractorFn:
+    """Build a deterministic extractor honoring the ERExtractionTemplate
+    JSON contract.  Entities are deduped per chunk by (label, name); local
+    ids are their first-appearance order — exactly what an LLM following the
+    prompt examples would emit."""
+    compiled = [
+        (re.compile(rx), rel, sl, ol) for rx, rel, sl, ol in rules
+    ]
+
+    def run(texts: List[str]) -> List[str]:
+        out = []
+        for text in texts:
+            nodes: dict[tuple[str, str], int] = {}
+            rels = []
+            for rx, rel_type, subj_label, obj_label in compiled:
+                for m in rx.finditer(text or ""):
+                    sid = nodes.setdefault((subj_label, m.group(1)), len(nodes))
+                    oid = nodes.setdefault((obj_label, m.group(2)), len(nodes))
+                    rels.append(
+                        {
+                            "type": rel_type,
+                            "start_node_id": str(sid),
+                            "end_node_id": str(oid),
+                            "properties": {},
+                        }
+                    )
+            payload = {
+                "nodes": [
+                    {"id": str(i), "label": label, "properties": {"name": name}}
+                    for (label, name), i in nodes.items()
+                ],
+                "relationships": rels,
+            }
+            out.append(json.dumps(payload, ensure_ascii=False))
+        return out
+
+    return run
+
+
+def demo_rules() -> List[RulePattern]:
+    """Rules matching the FIXTURES.md §4 demo schema + transcript templates."""
+    from neo4j_graphrag_python_spark.transcripts import PATTERNS
+
+    return [
+        (pattern, pred, subj_label, obj_label)
+        for pred, (pattern, subj_label, obj_label) in PATTERNS.items()
+    ]
+
+
+# ---------------------------------------------------------------------------
+# Parsing / validation of the model output (reference extract_for_chunk)
+# ---------------------------------------------------------------------------
+
+
+def parse_extraction(raw: str) -> dict:
+    """fix_invalid_json + shape validation.
+
+    Raises ExtractionError on unfixable JSON or contract violations, exactly
+    where the reference raises LLMGenerationError
+    (entity_relation_extractor.py:216-237): callers map it through OnError.
+    """
+    try:
+        repaired = fix_invalid_json(raw)
+        result = json.loads(repaired)
+    except (InvalidJSONError, json.JSONDecodeError) as e:
+        raise ExtractionError("model response is not valid JSON") from e
+    if not isinstance(result, dict):
+        raise ExtractionError("model response has improper format")
+    nodes = result.get("nodes", [])
+    rels = result.get("relationships", [])
+    if not isinstance(nodes, list) or not isinstance(rels, list):
+        raise ExtractionError("model response has improper format")
+    for n in nodes:
+        if not isinstance(n, dict) or "id" not in n or "label" not in n:
+            raise ExtractionError("node missing required id/label")
+        if n["id"] is None or n["label"] is None:
+            raise ExtractionError("node missing required id/label")
+        props = n.get("properties") or {}
+        if "id" in props:
+            # validator forbids a property named "id" (types.py:93-99)
+            raise ExtractionError("node property 'id' is reserved")
+    for r in rels:
+        if (
+            not isinstance(r, dict)
+            or r.get("type") is None
+            or r.get("start_node_id") is None
+            or r.get("end_node_id") is None
+        ):
+            raise ExtractionError("relationship missing type/endpoints")
+    return {"nodes": nodes, "relationships": rels}
+
+
+def _props_to_str_map(props: dict) -> dict[str, str]:
+    out = {}
+    for k, v in (props or {}).items():
+        out[str(k)] = v if isinstance(v, str) else json.dumps(v, ensure_ascii=False)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# The Spark stage
+# ---------------------------------------------------------------------------
+
+
+def extract_graph_rows(
+    chunks: DataFrame,
+    extractor_fn: ExtractorFn,
+    on_error: str = "IGNORE",
+    lexical_config: LexicalGraphConfig | None = None,
+    create_from_chunk_edges: bool = True,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """chunks → combined graph rows (kind ∈ {'node','edge'}).
+
+    Node rows: (id, label, properties);
+    edge rows: (start_node_id, end_node_id, type, properties).
+    Both carry (conv_id, chunk_uid) lineage and a per-chunk ``status``
+    ('ok' | 'error:...') — the distributed replacement for OnError.IGNORE
+    logging.  With on_error='RAISE' the task fails instead (reference
+    LLMGenerationError → job abort).
+    """
+    cfg = lexical_config or LexicalGraphConfig()
+    from_chunk_type = cfg.node_to_chunk_relationship_type
+    raise_on_error = on_error.upper() == "RAISE"
+
+    def extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [
+            "kind",
+            "id",
+            "label",
+            "properties",
+            "start_node_id",
+            "end_node_id",
+            "type",
+            "conv_id",
+            "chunk_uid",
+            "status",
+        ]
+        for pdf in batches:
+            # prepend boundary context (≤2 chars) so sentence-anchored
+            # extractors see the true sentence boundary at chunk starts;
+            # captured spans always lie inside the chunk text itself.
+            if "boundary_ctx" in pdf.columns:
+                model_inputs = list(
+                    pdf["boundary_ctx"].fillna("") + pdf["text"].fillna("")
+                )
+            else:
+                model_inputs = list(pdf["text"].fillna(""))
+            raw_outputs = extractor_fn(model_inputs)
+            rows: list[tuple] = []
+            for conv_id, chunk_uid, chunk_index, raw in zip(
+                pdf["conv_id"], pdf["chunk_uid"], pdf["chunk_index"], raw_outputs
+            ):
+                status = "ok"
+                try:
+                    graph = parse_extraction(raw)
+                except ExtractionError as e:
+                    if raise_on_error:
+                        raise
+                    graph = {"nodes": [], "relationships": []}
+                    status = f"error:{e}"
+                # update_ids semantics (entity_relation_extractor.py:141-158)
+                prefix = f"{chunk_uid}:"
+                for n in graph["nodes"]:
+                    props = _props_to_str_map(n.get("properties"))
+                    props["chunk_index"] = str(int(chunk_index))
+                    node_id = prefix + str(n["id"])
+                    rows.append(
+                        (
+                            "node",
+                            node_id,
+                            str(n["label"]),
+                            props,
+                            None,
+                            None,
+                            None,
+                            conv_id,
+                            chunk_uid,
+                            status,
+                        )
+                    )
+                    if create_from_chunk_edges:
+                        rows.append(
+                            (
+                                "edge",
+                                None,
+                                None,
+                                {},
+                                node_id,
+                                chunk_uid,
+                                from_chunk_type,
+                                conv_id,
+                                chunk_uid,
+                                status,
+                            )
+                        )
+                for r in graph["relationships"]:
+                    rows.append(
+                        (
+                            "edge",
+                            None,
+                            None,
+                            _props_to_str_map(r.get("properties")),
+                            prefix + str(r["start_node_id"]),
+                            prefix + str(r["end_node_id"]),
+                            str(r["type"]),
+                            conv_id,
+                            chunk_uid,
+                            status,
+                        )
+                    )
+                if not graph["nodes"] and not graph["relationships"]:
+                    # keep an explicit per-chunk status row for lineage
+                    if status != "ok":
+                        rows.append(
+                            (
+                                "status",
+                                None,
+                                None,
+                                {},
+                                None,
+                                None,
+                                None,
+                                conv_id,
+                                chunk_uid,
+                                status,
+                            )
+                        )
+            yield pd.DataFrame(rows, columns=cols)
+
+    cols = ["conv_id", "chunk_uid", "chunk_index", "text"]
+    if "boundary_ctx" in chunks.columns:
+        cols.append("boundary_ctx")
+    src = chunks.select(*cols)
+    # hash-repartition on chunk_uid: size-bounded partitions regardless of
+    # conv_id skew (north-rule requirement).
+    if num_partitions:
+        src = src.repartition(num_partitions, "chunk_uid")
+    else:
+        src = src.repartition("chunk_uid")
+    return src.mapInPandas(extract_batches, schema=GRAPH_ROWS_FIELDS)
+
+
+def split_graph_rows(graph_rows: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Combined rows → (nodes, edges) in canonical schemas.
+
+    Callers should persist or checkpoint ``graph_rows`` first so extraction
+    runs once (the pipeline does; plans/pipeline.py).
+    """
+    nodes = graph_rows.where(F.col("kind") == "node").select(
+        "id",
+        "label",
+        F.lit(True).alias("is_entity"),
+        "properties",
+        F.lit(None).cast("array<float>").alias("embedding"),
+        "conv_id",
+        "chunk_uid",
+    )
+    edges = graph_rows.where(F.col("kind") == "edge").select(
+        "start_node_id",
+        "end_node_id",
+        "type",
+        "properties",
+        "conv_id",
+        "chunk_uid",
+    )
+    return nodes, edges

@@ -1,0 +1,380 @@
+"""Stage 6 — entity resolution (canonicalization).
+
+Reference semantics:
+  * SinglePropertyExactMatchResolver (resolver.py:75-168): group __Entity__
+    nodes by (label, resolve_property value), skip null values, merge each
+    group — properties 'discard' (first node's bag wins), mergeRels:true
+    (parallel same-type/same-endpoint edges collapse).
+  * BasePropertySimilarityResolver (resolver.py:179-313): per label,
+    concatenate resolve_properties, score all pairs, threshold (default
+    0.8), consolidate overlapping pairs into clusters, merge.
+  * FuzzyMatchResolver (resolver.py:417-453): WRatio(default_process)/100.
+  * SpaCySemanticMatchResolver (resolver.py:316-414): embedding cosine with
+    a per-unique-text embedding cache.
+
+Spark-first re-design (SURVEY.md §2.3 A1-A4, §2.4 J3-J4):
+  * exact: one groupBy((label, name)) with ``min_by`` picking the canonical
+    node by (chunk_index, id) order — the deterministic analog of
+    "first node wins"; skew on mega-entities is handled by AQE (the
+    aggregation is partial/map-side combined by Catalyst automatically);
+  * similarity: the reference's O(n²) ``combinations`` is replaced by
+    candidate *blocking* (MinHash-LSH over character n-grams, or exact
+    normalized-key prematch), pair scoring in an Arrow-batched pandas UDF,
+    then connected components via iterative min-id propagation (clusters
+    are tiny after blocking, so few iterations);
+  * merging is one shared primitive: a (node_id → canonical_id) mapping
+    applied to nodes (keep canonical row) and edges (two hash joins +
+    dropDuplicates for mergeRels semantics).
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING, Iterator
+
+if TYPE_CHECKING:
+    from pyspark.sql import Column
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
+
+
+def _with_similarity_schema(df: DataFrame) -> T.StructType:
+    # StructType.add mutates in place — never call it on df.schema directly
+    return T.StructType(
+        list(df.schema.fields) + [T.StructField("similarity", T.DoubleType())]
+    )
+
+from neo4j_graphrag_python_spark.types import ResolutionStats
+
+# ---------------------------------------------------------------------------
+# shared merge primitive
+# ---------------------------------------------------------------------------
+
+
+def apply_merge_mapping(
+    nodes: DataFrame, edges: DataFrame, mapping: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """Apply (id → canonical_id) to the graph.
+
+    * nodes whose id maps to a different canonical_id are dropped (they
+      merged into the canonical row);
+    * edge endpoints are re-pointed (two equi joins — J3);
+    * parallel edges with same (start, type, end) are merged keeping the
+      first property bag by chunk order (apoc mergeRels:true analog).
+    """
+    non_identity = mapping.where(F.col("id") != F.col("canonical_id"))
+    merged_away = non_identity.select(F.col("id").alias("_mid"))
+    new_nodes = nodes.join(
+        merged_away, nodes.id == merged_away._mid, "left_anti"
+    )
+
+    for endpoint in ("start_node_id", "end_node_id"):
+        m = non_identity.select(
+            F.col("id").alias("_from"), F.col("canonical_id").alias("_to")
+        )
+        edges = (
+            edges.join(m, edges[endpoint] == m._from, "left")
+            .withColumn(endpoint, F.coalesce(F.col("_to"), F.col(endpoint)))
+            .drop("_from", "_to")
+        )
+    new_edges = (
+        edges.groupBy("start_node_id", "type", "end_node_id")
+        .agg(
+            F.min_by(
+                F.struct("properties", "conv_id", "chunk_uid"),
+                F.struct("chunk_uid", "conv_id"),
+            ).alias("_first")
+        )
+        .select(
+            "start_node_id",
+            "end_node_id",
+            "type",
+            F.col("_first.properties").alias("properties"),
+            F.col("_first.conv_id").alias("conv_id"),
+            F.col("_first.chunk_uid").alias("chunk_uid"),
+        )
+    )
+    return new_nodes, new_edges
+
+
+def _entity_scope(nodes: DataFrame, resolve_property: str) -> DataFrame:
+    """Entities eligible for resolution: is_entity with non-null property
+    (resolver.py:137-139 'WHERE prop IS NOT NULL')."""
+    return nodes.where(
+        F.col("is_entity") & F.col("properties").getItem(resolve_property).isNotNull()
+    )
+
+
+def _order_key() -> "Column":
+    """Deterministic 'first node' order: chunk_index (as int), then id —
+    the distributed stand-in for Cypher collect() insertion order."""
+    return F.struct(
+        F.coalesce(
+            F.col("properties").getItem("chunk_index").cast("int"), F.lit(0)
+        ).alias("ci"),
+        F.col("id").alias("id"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact-match resolver
+# ---------------------------------------------------------------------------
+
+
+def exact_match_mapping(
+    nodes: DataFrame, resolve_property: str = "name"
+) -> DataFrame:
+    """(id → canonical_id) for exact (label, property) groups."""
+    scoped = _entity_scope(nodes, resolve_property).select(
+        "id",
+        "label",
+        F.col("properties").getItem(resolve_property).alias("_prop"),
+        _order_key().alias("_ord"),
+    )
+    canon = scoped.groupBy("label", "_prop").agg(
+        F.min_by("id", "_ord").alias("canonical_id")
+    )
+    return scoped.join(canon, ["label", "_prop"]).select("id", "canonical_id")
+
+
+def resolve_exact(
+    nodes: DataFrame,
+    edges: DataFrame,
+    resolve_property: str = "name",
+) -> tuple[DataFrame, DataFrame, ResolutionStats]:
+    """SinglePropertyExactMatchResolver.run (resolver.py:112-168)."""
+    mapping = exact_match_mapping(nodes, resolve_property)
+    stats_row = mapping.agg(
+        F.count("*").alias("n"),
+        F.countDistinct("canonical_id").alias("c"),
+    ).collect()[0]
+    new_nodes, new_edges = apply_merge_mapping(nodes, edges, mapping)
+    stats = ResolutionStats(
+        number_of_nodes_to_resolve=stats_row["n"],
+        number_of_created_nodes=stats_row["c"],
+    )
+    return new_nodes, new_edges, stats
+
+
+# ---------------------------------------------------------------------------
+# similarity resolvers (fuzzy / semantic)
+# ---------------------------------------------------------------------------
+
+
+def _resolve_texts(nodes: DataFrame, resolve_properties: list[str]) -> DataFrame:
+    """Per entity: concatenated non-null textual properties
+    (resolver.py:255-263) — empty concat drops the node from scope."""
+    scoped = nodes.where(F.col("is_entity"))
+    text = F.trim(
+        F.concat_ws(
+            " ",
+            *[F.col("properties").getItem(p) for p in resolve_properties],
+        )
+    )
+    return (
+        scoped.select("id", "label", text.alias("text"), _order_key().alias("_ord"))
+        .where(F.col("text") != "")
+    )
+
+
+def candidate_pairs_lsh(
+    texts: DataFrame,
+    num_hash_tables: int = 8,
+    jaccard_distance: float = 0.7,
+) -> DataFrame:
+    """Candidate blocking via MinHash-LSH over character 3-grams
+    (pyspark.ml) — the scale replacement for O(n²) combinations (J4).
+
+    Returns (label, id_a, id_b, text_a, text_b) with id_a < id_b; recall is
+    tuned by ``jaccard_distance`` (loose on purpose: the precise scorer
+    runs next).
+    """
+    from pyspark.ml.feature import (
+        HashingTF,
+        MinHashLSH,
+        NGram,
+        RegexTokenizer,
+    )
+
+    chars = RegexTokenizer(
+        inputCol="norm",
+        outputCol="chars",
+        pattern="[\\s\\S]",
+        gaps=False,
+        toLowercase=True,
+        minTokenLength=1,
+    )
+    grams = NGram(n=3, inputCol="chars", outputCol="grams")
+    tf = HashingTF(inputCol="grams", outputCol="features", numFeatures=1 << 18)
+    lsh = MinHashLSH(
+        inputCol="features", outputCol="hashes", numHashTables=num_hash_tables, seed=42
+    )
+
+    base = texts.withColumn("norm", F.lower(F.col("text")))
+    # pad so strings shorter than 3 chars still produce one gram
+    # (rpad truncates longer strings — only pad when needed)
+    base = base.withColumn(
+        "norm",
+        F.when(F.length("norm") < 3, F.rpad(F.col("norm"), 3, "_")).otherwise(
+            F.col("norm")
+        ),
+    )
+    staged = tf.transform(grams.transform(chars.transform(base)))
+    staged = staged.where(F.size("grams") > 0)
+    model = lsh.fit(staged)
+    joined = model.approxSimilarityJoin(
+        staged, staged, jaccard_distance, distCol="jaccard_dist"
+    )
+    return (
+        joined.where(
+            (F.col("datasetA.label") == F.col("datasetB.label"))
+            & (F.col("datasetA.id") < F.col("datasetB.id"))
+        )
+        .select(
+            F.col("datasetA.label").alias("label"),
+            F.col("datasetA.id").alias("id_a"),
+            F.col("datasetB.id").alias("id_b"),
+            F.col("datasetA.text").alias("text_a"),
+            F.col("datasetB.text").alias("text_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def score_pairs_fuzzy(pairs: DataFrame) -> DataFrame:
+    """Arrow-batched pair scoring with the WRatio-compatible scorer
+    (functions/fuzz.py; reference resolver.py:448-453)."""
+
+    def score_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from neo4j_graphrag_python_spark.functions.fuzz import similarity
+
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["similarity"] = [
+                similarity(a, b) for a, b in zip(pdf["text_a"], pdf["text_b"])
+            ]
+            yield pdf
+
+    return pairs.mapInPandas(score_batches, schema=_with_similarity_schema(pairs))
+
+
+def score_pairs_cosine(pairs: DataFrame, dim: int = 64) -> DataFrame:
+    """Semantic scoring: deterministic hash-embedding cosine — the
+    distributed analog of SpaCySemanticMatchResolver.compute_similarity
+    (resolver.py:373-397).  Unique texts are embedded once per Arrow batch
+    (cache dict), the DataFrame-side analog of embedding_cache
+    (resolver.py:381-385)."""
+
+    def score_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from neo4j_graphrag_python_spark.functions.embedding import embed_text
+
+        cache: dict[str, "np.ndarray"] = {}
+
+        def emb(t: str):
+            if t not in cache:
+                cache[t] = embed_text(t, dim)
+            return cache[t]
+
+        for pdf in batches:
+            pdf = pdf.copy()
+            sims = []
+            for a, b in zip(pdf["text_a"], pdf["text_b"]):
+                va, vb = emb(a), emb(b)
+                na, nb = np.linalg.norm(va), np.linalg.norm(vb)
+                sims.append(
+                    float(va @ vb / (na * nb)) if na and nb else 0.0
+                )
+            pdf["similarity"] = sims
+            yield pdf
+
+    return pairs.mapInPandas(score_batches, schema=_with_similarity_schema(pairs))
+
+
+def connected_components(
+    pairs: DataFrame, max_iterations: int = 20
+) -> DataFrame:
+    """(id_a, id_b) pairs → (id, canonical_id=min id of component).
+
+    Iterative min-label propagation — the distributed _consolidate_sets
+    (resolver.py:299-313).  After LSH blocking components are tiny, so this
+    converges in a handful of iterations; each is one shuffle.
+    """
+    sym = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    labels = (
+        sym.groupBy("src")
+        .agg(F.least(F.min("dst"), F.first("src")).alias("comp"))
+        .select(F.col("src").alias("id"), F.least("comp", "id").alias("comp"))
+    )
+    sym = sym.localCheckpoint(eager=True)
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_iterations):
+        neighbor_min = (
+            sym.join(labels, sym.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("comp").alias("n_comp"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("n_comp"), F.col("comp"))
+                ).alias("comp"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("id", F.col("comp").alias("canonical_id"))
+
+
+def resolve_similarity(
+    nodes: DataFrame,
+    edges: DataFrame,
+    method: str = "fuzzy",
+    resolve_properties: list[str] | None = None,
+    similarity_threshold: float = 0.8,
+    lsh_jaccard_distance: float = 0.7,
+) -> tuple[DataFrame, DataFrame, ResolutionStats]:
+    """Fuzzy / semantic resolution (resolver.py:179-313 pipeline shape)."""
+    props = resolve_properties or ["name"]
+    texts = _resolve_texts(nodes, props)
+    n_scope = texts.count()
+    pairs = candidate_pairs_lsh(texts, jaccard_distance=lsh_jaccard_distance)
+    scored = (
+        score_pairs_fuzzy(pairs) if method == "fuzzy" else score_pairs_cosine(pairs)
+    )
+    matches = scored.where(F.col("similarity") >= similarity_threshold)
+    comp = connected_components(matches.select("id_a", "id_b"))
+    # canonical representative: first node (chunk order) within component,
+    # not min id — align with 'properties: discard' first-wins semantics.
+    with_ord = comp.join(texts.select("id", "_ord"), "id")
+    rep = with_ord.groupBy("canonical_id").agg(
+        F.min_by("id", "_ord").alias("rep_id")
+    )
+    mapping = (
+        with_ord.join(rep, "canonical_id")
+        .select("id", F.col("rep_id").alias("canonical_id"))
+    )
+    n_merged = mapping.where(F.col("id") != F.col("canonical_id")).count()
+    new_nodes, new_edges = apply_merge_mapping(nodes, edges, mapping)
+    stats = ResolutionStats(
+        number_of_nodes_to_resolve=n_scope,
+        number_of_created_nodes=n_scope - n_merged,
+    )
+    return new_nodes, new_edges, stats

@@ -1,0 +1,92 @@
+"""Stage 2 — fixed-size text splitting as a vectorized Spark stage.
+
+Wraps the exact FixedSizeSplitter port
+(functions/splitting.py; reference fixed_size_splitter.py:21-149) in
+``mapInPandas``: each Arrow batch of documents expands to chunk rows.
+The whitespace state machine forces Python here; everything around it
+(partitioning, chunk ids, downstream ops) is DataFrame-native.
+
+Scale notes:
+* input is repartitioned so one task never holds more than a bounded number
+  of documents — and because splitting is per-document, the stage is
+  embarrassingly parallel;
+* ``chunk_uid = sha1(conv_id ':' chunk_index)`` is deterministic →
+  re-running the stage is idempotent (resume requirement), unlike the
+  reference's uuid4 chunk ids (types.py:48-65).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from neo4j_graphrag_python_spark.functions.splitting import split_text
+from neo4j_graphrag_python_spark.types import SplitterConfig
+
+CHUNKS_FIELDS = (
+    "chunk_uid string, conv_id string, chunk_index int, "
+    "char_start int, char_end int, text string, boundary_ctx string"
+)
+# boundary_ctx: the (≤2) document chars immediately before char_start.
+# Extraction prepends it so sentence-start-anchored patterns can't produce
+# truncated-name false positives at chunk boundaries (see
+# transcripts.SENT_PREFIX).  Empty for chunk 0.
+
+
+def _chunk_uid(conv_id: str, chunk_index: int) -> str:
+    import hashlib
+
+    return hashlib.sha1(f"{conv_id}:{chunk_index}".encode("utf-8")).hexdigest()
+
+
+def split_fixed_size(
+    documents: DataFrame,
+    config: SplitterConfig | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """documents(conv_id, text, ...) → chunks(chunk_uid, conv_id,
+    chunk_index, char_start, char_end, text)."""
+    config = config or SplitterConfig()
+    size, overlap, approximate = (
+        config.chunk_size,
+        config.chunk_overlap,
+        config.approximate,
+    )
+
+    def split_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            uids, convs, idxs, starts, ends, texts, ctxs = (
+                [], [], [], [], [], [], [],
+            )
+            for conv_id, text in zip(pdf["conv_id"], pdf["text"]):
+                doc = text or ""
+                for i, (s, e, chunk) in enumerate(
+                    split_text(doc, size, overlap, approximate)
+                ):
+                    uids.append(_chunk_uid(conv_id, i))
+                    convs.append(conv_id)
+                    idxs.append(i)
+                    starts.append(s)
+                    ends.append(e)
+                    texts.append(chunk)
+                    ctxs.append(doc[max(0, s - 2) : s])
+            yield pd.DataFrame(
+                {
+                    "chunk_uid": pd.Series(uids, dtype="object"),
+                    "conv_id": pd.Series(convs, dtype="object"),
+                    "chunk_index": pd.Series(idxs, dtype="int32"),
+                    "char_start": pd.Series(starts, dtype="int32"),
+                    "char_end": pd.Series(ends, dtype="int32"),
+                    "text": pd.Series(texts, dtype="object"),
+                    "boundary_ctx": pd.Series(ctxs, dtype="object"),
+                }
+            )
+
+    src = documents.select("conv_id", "text")
+    if num_partitions:
+        src = src.repartition(num_partitions, "conv_id")
+    return src.mapInPandas(split_batches, schema=CHUNKS_FIELDS)

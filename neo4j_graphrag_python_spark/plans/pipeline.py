@@ -1,0 +1,164 @@
+"""SimpleKGPipeline, Spark-first.
+
+Reference entry point: ``SimpleKGPipeline(...).run_async(text=...)``
+(experimental/pipeline/kg_builder.py:113-137 → config parse →
+Orchestrator).  The reference needs a custom asyncio DAG scheduler
+(orchestrator.py) because plain Python has no dataflow engine; on Spark the
+DAG *is* the lazy plan — this module is just the linear composition
+
+    transcripts → assemble → split → [embed] → extract → prune
+                → materialize(nodes, edges) → resolve → canonical graph
+
+with optional parquet checkpoints at stage boundaries (the distributed
+ResultStore; enables idempotent resume and ensures extraction executes
+once even though two outputs consume it).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, functions as F
+
+from neo4j_graphrag_python_spark.operators.assemble import assemble_documents
+from neo4j_graphrag_python_spark.operators.embedder import embed_column
+from neo4j_graphrag_python_spark.operators.extractor import (
+    ExtractorFn,
+    extract_graph_rows,
+    split_graph_rows,
+)
+from neo4j_graphrag_python_spark.operators.lexical import build_lexical_graph
+from neo4j_graphrag_python_spark.operators.pruning import prune_graph
+from neo4j_graphrag_python_spark.operators.resolver import (
+    resolve_exact,
+    resolve_similarity,
+)
+from neo4j_graphrag_python_spark.operators.splitter import split_fixed_size
+from neo4j_graphrag_python_spark.operators.writer import (
+    checkpoint_stage,
+    dedupe_edges,
+)
+from neo4j_graphrag_python_spark.schema import GraphSchema
+from neo4j_graphrag_python_spark.types import PipelineConfig, ResolutionStats
+
+
+@dataclass
+class KGResult:
+    nodes: DataFrame
+    edges: DataFrame
+    chunks: DataFrame
+    pruned_nodes: DataFrame
+    pruned_edges: DataFrame
+    resolution_stats: ResolutionStats | None = None
+    metrics: dict = field(default_factory=dict)
+
+
+def run_kg_pipeline(
+    transcripts: DataFrame,
+    extractor_fn: ExtractorFn,
+    schema: GraphSchema | None = None,
+    config: PipelineConfig | None = None,
+    embed_chunks: bool = False,
+) -> KGResult:
+    """Build the knowledge graph from a transcripts DataFrame.
+
+    Mirrors the reference component chain
+    (simple_kg_builder.py:73-82: loader → splitter → chunk_embedder →
+    schema → extractor → pruner → writer → resolver).
+    """
+    cfg = config or PipelineConfig()
+    ckpt = cfg.checkpoint_dir
+
+    documents = assemble_documents(transcripts)
+    chunks = split_fixed_size(documents, cfg.splitter)
+    chunks = checkpoint_stage(chunks, ckpt, "chunks")
+    if embed_chunks:
+        chunks = embed_column(chunks)
+
+    # extraction — the expensive stage: one pass, checkpointed, then split
+    graph_rows = extract_graph_rows(
+        chunks,
+        extractor_fn,
+        on_error=cfg.on_error,
+        lexical_config=cfg.lexical,
+        num_partitions=cfg.extract_partitions,
+    )
+    graph_rows = checkpoint_stage(graph_rows, ckpt, "graph_rows")
+    entity_nodes, entity_edges = split_graph_rows(graph_rows)
+
+    if cfg.create_lexical_graph:
+        lex_nodes, lex_edges = build_lexical_graph(documents, chunks, cfg.lexical)
+        nodes = lex_nodes.unionByName(entity_nodes)
+        edges = lex_edges.unionByName(entity_edges)
+    else:
+        nodes, edges = entity_nodes, entity_edges
+
+    nodes, edges, pruned_nodes, pruned_edges = prune_graph(
+        nodes, edges, schema, cfg.lexical
+    )
+
+    edges = dedupe_edges(edges)
+
+    stats = None
+    if cfg.perform_entity_resolution:
+        nodes = checkpoint_stage(nodes, ckpt, "nodes_pre_resolve")
+        edges = checkpoint_stage(edges, ckpt, "edges_pre_resolve")
+        nodes, edges, stats = resolve_exact(nodes, edges, cfg.resolve_property)
+
+    return KGResult(
+        nodes=nodes,
+        edges=edges,
+        chunks=chunks,
+        pruned_nodes=pruned_nodes,
+        pruned_edges=pruned_edges,
+        resolution_stats=stats,
+    )
+
+
+def run_similarity_resolution(
+    result: KGResult,
+    method: str = "fuzzy",
+    resolve_properties: list[str] | None = None,
+    similarity_threshold: float = 0.8,
+) -> KGResult:
+    """Optional second resolution pass (FuzzyMatch / SemanticMatch analog)."""
+    nodes, edges, stats = resolve_similarity(
+        result.nodes,
+        result.edges,
+        method=method,
+        resolve_properties=resolve_properties,
+        similarity_threshold=similarity_threshold,
+    )
+    return KGResult(
+        nodes=nodes,
+        edges=edges,
+        chunks=result.chunks,
+        pruned_nodes=result.pruned_nodes,
+        pruned_edges=result.pruned_edges,
+        resolution_stats=stats,
+    )
+
+
+def triples_view(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """(subj, pred, obj) over canonical entity names — the P/R scoring view
+    (FIXTURES.md §8): edges joined to entity nodes on both endpoints."""
+    entities = nodes.where(F.col("is_entity")).select(
+        F.col("id").alias("_nid"),
+        F.col("properties").getItem("name").alias("_name"),
+    )
+    return (
+        edges.join(
+            entities.select(
+                F.col("_nid").alias("_sid"), F.col("_name").alias("subj")
+            ),
+            F.col("start_node_id") == F.col("_sid"),
+        )
+        .join(
+            entities.select(
+                F.col("_nid").alias("_eid"), F.col("_name").alias("obj")
+            ),
+            F.col("end_node_id") == F.col("_eid"),
+        )
+        .select("subj", F.col("type").alias("pred"), "obj")
+        .distinct()
+    )

@@ -1,0 +1,129 @@
+"""End-to-end KG pipeline on synthetic transcripts: lexical graph shape,
+triple P/R ≥ 0.95 vs ground truth, per-turn lineage invariant, resume."""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from neo4j_graphrag_python_spark import transcripts as tr
+from neo4j_graphrag_python_spark.operators.extractor import demo_rules, regex_extractor
+from neo4j_graphrag_python_spark.plans.pipeline import (
+    run_kg_pipeline,
+    triples_view,
+)
+from neo4j_graphrag_python_spark.schema import demo_schema
+from neo4j_graphrag_python_spark.types import PipelineConfig, SplitterConfig
+
+SF = 0.0005  # ~100 conversations — fast but non-trivial
+
+
+@pytest.fixture(scope="module")
+def transcripts_df(spark, tmp_path_factory):
+    path = tmp_path_factory.mktemp("fixtures") / "transcripts.parquet"
+    tr.write_transcripts(path, SF)
+    return spark.read.parquet(str(path))
+
+
+@pytest.fixture(scope="module")
+def kg(transcripts_df):
+    cfg = PipelineConfig(
+        splitter=SplitterConfig(chunk_size=600, chunk_overlap=200, approximate=True)
+    )
+    result = run_kg_pipeline(
+        transcripts_df,
+        regex_extractor(demo_rules()),
+        schema=demo_schema(),
+        config=cfg,
+    )
+    result.nodes = result.nodes.cache()
+    result.edges = result.edges.cache()
+    return result
+
+
+def test_triples_match_ground_truth(kg) -> None:
+    got = {
+        (r["subj"], r["pred"], r["obj"])
+        for r in triples_view(kg.nodes, kg.edges).collect()
+    }
+    expected = tr.expected_triples(SF)
+    assert expected, "fixture must plant triples"
+    tp = len(got & expected)
+    precision = tp / len(got) if got else 0.0
+    recall = tp / len(expected)
+    assert precision >= 0.95, f"precision {precision} (got {len(got)}, tp {tp})"
+    assert recall >= 0.95, f"recall {recall}"
+    # with chunk-overlap-safe sentence lengths this should be exact
+    assert got == expected
+
+
+def test_lexical_graph_shape(kg, transcripts_df) -> None:
+    n_convs = transcripts_df.select("conv_id").distinct().count()
+    labels = {
+        r["label"]: r["count"]
+        for r in kg.nodes.groupBy("label").count().collect()
+    }
+    assert labels["Document"] == n_convs
+    assert labels["Chunk"] >= n_convs  # ≥1 chunk per conversation
+    types = {
+        r["type"]: r["count"]
+        for r in kg.edges.groupBy("type").count().collect()
+    }
+    assert types["FROM_DOCUMENT"] == labels["Chunk"]
+    assert types["NEXT_CHUNK"] == labels["Chunk"] - n_convs
+    assert types.get("FROM_CHUNK", 0) > 0
+    # entity nodes exist and carry names
+    assert labels.get("Person", 0) > 0
+
+
+def test_edges_are_deduped_and_canonical(kg) -> None:
+    dupes = (
+        kg.edges.groupBy("start_node_id", "type", "end_node_id")
+        .count()
+        .where(F.col("count") > 1)
+        .count()
+    )
+    assert dupes == 0
+    # every entity edge endpoint resolves to an existing node
+    non_lex = kg.edges.where(
+        ~F.col("type").isin(["FROM_DOCUMENT", "NEXT_CHUNK", "FROM_CHUNK"])
+    )
+    ids = kg.nodes.select(F.col("id").alias("nid"))
+    dangling = (
+        non_lex.join(ids, non_lex.start_node_id == ids.nid, "left_anti").count()
+        + non_lex.join(ids, non_lex.end_node_id == ids.nid, "left_anti").count()
+    )
+    assert dangling == 0
+
+
+def test_resolution_stats(kg) -> None:
+    stats = kg.resolution_stats
+    assert stats is not None
+    assert stats.number_of_nodes_to_resolve > stats.number_of_created_nodes > 0
+
+
+def test_checkpointed_run_and_resume(transcripts_df, tmp_path) -> None:
+    ckpt = str(tmp_path / "ckpt")
+    cfg = PipelineConfig(
+        splitter=SplitterConfig(chunk_size=600, chunk_overlap=200),
+        checkpoint_dir=ckpt,
+    )
+    r1 = run_kg_pipeline(
+        transcripts_df, regex_extractor(demo_rules()), demo_schema(), cfg
+    )
+    t1 = sorted(
+        (r["subj"], r["pred"], r["obj"])
+        for r in triples_view(r1.nodes, r1.edges).collect()
+    )
+    assert (Path(ckpt) / "graph_rows" / "_SUCCESS").exists()
+    # second run reuses checkpoints (idempotent resume) → identical output
+    r2 = run_kg_pipeline(
+        transcripts_df, regex_extractor(demo_rules()), demo_schema(), cfg
+    )
+    t2 = sorted(
+        (r["subj"], r["pred"], r["obj"])
+        for r in triples_view(r2.nodes, r2.edges).collect()
+    )
+    assert t1 == t2

@@ -1,0 +1,132 @@
+"""Entity resolution goldens — reference
+tests/unit/.../test_resolver.py:28-288 analogs."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from neo4j_graphrag_python_spark.functions.fuzz import default_process, similarity
+from neo4j_graphrag_python_spark.operators.resolver import (
+    connected_components,
+    resolve_exact,
+    resolve_similarity,
+)
+from neo4j_graphrag_python_spark.types import EDGES_SCHEMA, NODES_SCHEMA
+
+
+def nodes_df(spark, rows):
+    # rows: (id, label, name or None, chunk_index)
+    data = []
+    for i, label, name, ci in rows:
+        props = {"chunk_index": str(ci)}
+        if name is not None:
+            props["name"] = name
+        data.append((i, label, True, props, None, "c1", f"u{ci}"))
+    return spark.createDataFrame(data, NODES_SCHEMA)
+
+
+def edges_df(spark, rows):
+    return spark.createDataFrame(
+        [(s, e, t, {}, "c1", "u0") for s, e, t in rows], EDGES_SCHEMA
+    )
+
+
+def test_exact_match_merges_same_label_same_name(spark) -> None:
+    nodes = nodes_df(
+        spark,
+        [
+            ("a:0", "Person", "Alice", 0),
+            ("b:0", "Person", "Alice", 1),
+            ("c:0", "Person", "Bob", 0),
+            ("d:0", "Organization", "Alice", 0),  # different label — no merge
+            ("e:0", "Person", None, 0),  # null name — out of scope
+        ],
+    )
+    edges = edges_df(
+        spark,
+        [
+            ("b:0", "c:0", "KNOWS"),  # re-pointed to a:0
+            ("a:0", "c:0", "KNOWS"),  # parallel after merge → deduped
+        ],
+    )
+    new_nodes, new_edges, stats = resolve_exact(nodes, edges)
+    ids = {r["id"] for r in new_nodes.collect()}
+    assert ids == {"a:0", "c:0", "d:0", "e:0"}
+    e = new_edges.collect()
+    assert len(e) == 1
+    assert (e[0]["start_node_id"], e[0]["end_node_id"]) == ("a:0", "c:0")
+    assert stats.number_of_nodes_to_resolve == 4
+    assert stats.number_of_created_nodes == 3
+
+
+def test_exact_match_properties_first_wins(spark) -> None:
+    data = [
+        ("x:0", "Person", True, {"name": "Alice", "age": "30", "chunk_index": "1"},
+         None, "c1", "u1"),
+        ("y:0", "Person", True, {"name": "Alice", "age": "99", "city": "Oslo",
+                                 "chunk_index": "0"}, None, "c1", "u0"),
+    ]
+    nodes = spark.createDataFrame(data, NODES_SCHEMA)
+    edges = edges_df(spark, [])
+    new_nodes, _, _ = resolve_exact(nodes, edges)
+    rows = new_nodes.collect()
+    assert len(rows) == 1
+    # first node by chunk order is y:0 (chunk_index 0) — its bag wins whole
+    assert rows[0]["id"] == "y:0"
+    assert rows[0]["properties"]["age"] == "99"
+
+
+def test_fuzzy_similarity_goldens() -> None:
+    # reference test_resolver.py:233-240
+    assert similarity("  ALICE  ", "alice!") == 1.0
+    assert similarity("Alice", "Alice") == 1.0
+    assert similarity("Alice", "Bob") < 0.8
+    assert similarity("John Smith", "Jon Smith") >= 0.8
+    assert default_process("  ALICE  ") == "alice"
+
+
+def test_resolve_similarity_fuzzy(spark) -> None:
+    nodes = nodes_df(
+        spark,
+        [
+            ("a:0", "Person", "John Smith", 0),
+            ("b:0", "Person", "Jon Smith", 1),
+            ("c:0", "Person", "Completely Different", 0),
+        ],
+    )
+    edges = edges_df(spark, [("b:0", "c:0", "KNOWS")])
+    new_nodes, new_edges, stats = resolve_similarity(
+        nodes, edges, method="fuzzy", similarity_threshold=0.8
+    )
+    ids = {r["id"] for r in new_nodes.collect()}
+    assert ids == {"a:0", "c:0"}
+    e = new_edges.collect()
+    assert e[0]["start_node_id"] == "a:0"
+    assert stats.number_of_nodes_to_resolve == 3
+    assert stats.number_of_created_nodes == 2
+
+
+def test_resolve_similarity_semantic_identical_texts(spark) -> None:
+    nodes = nodes_df(
+        spark,
+        [
+            ("a:0", "Person", "Alice", 0),
+            ("b:0", "Person", "Alice", 1),
+            ("c:0", "Person", "Bob", 0),
+        ],
+    )
+    new_nodes, _, _ = resolve_similarity(
+        nodes, edges_df(spark, []), method="semantic", similarity_threshold=0.95
+    )
+    assert {r["id"] for r in new_nodes.collect()} == {"a:0", "c:0"}
+
+
+def test_connected_components_transitive(spark) -> None:
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y")], ["id_a", "id_b"]
+    )
+    comp = {r["id"]: r["canonical_id"] for r in connected_components(pairs).collect()}
+    assert comp["a"] == comp["b"] == comp["c"]
+    assert comp["x"] == comp["y"]
+    assert comp["a"] != comp["x"]
