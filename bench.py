@@ -1,0 +1,149 @@
+"""Benchmark harness — prints ONE JSON line.
+
+Runs the headline KG-construction pipeline plus representative operator
+queries at ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` (default 32).
+
+Output: {"metric": "kg_pipeline_sec", "value": <sec>, "unit": "sec",
+         "queries": {...per-query sec...}, "sf": <sf>,
+         "parallelism": <cores>, "triples_emitted": N,
+         "triples_per_sec": N, "canonical_triples": N}
+
+"triples emitted" counts relationship rows produced by the extraction
+stage (entity rels + FROM_CHUNK lineage edges) — the unit the north rule's
+throughput metric is defined over; "canonical_triples" is the distinct
+(subj, pred, obj) count after pruning + resolution.
+
+Scaling evidence (N vs 4N cores) is produced by scripts/bench_scaling.py,
+which runs this file at two parallelism levels in fresh JVMs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from neo4j_graphrag_python_spark import transcripts as tr  # noqa: E402
+from neo4j_graphrag_python_spark.operators.assemble import (  # noqa: E402
+    assemble_documents,
+)
+from neo4j_graphrag_python_spark.operators.extractor import (  # noqa: E402
+    demo_rules,
+    extract_graph_rows,
+    regex_extractor,
+    split_graph_rows,
+)
+from neo4j_graphrag_python_spark.operators.lexical import (  # noqa: E402
+    build_lexical_graph,
+)
+from neo4j_graphrag_python_spark.operators.pruning import prune_graph  # noqa: E402
+from neo4j_graphrag_python_spark.operators.resolver import resolve_exact  # noqa: E402
+from neo4j_graphrag_python_spark.operators.splitter import (  # noqa: E402
+    split_fixed_size,
+)
+from neo4j_graphrag_python_spark.operators.writer import dedupe_edges  # noqa: E402
+from neo4j_graphrag_python_spark.plans.pipeline import triples_view  # noqa: E402
+from neo4j_graphrag_python_spark.schema import demo_schema  # noqa: E402
+from neo4j_graphrag_python_spark.session import build_spark  # noqa: E402
+from neo4j_graphrag_python_spark.types import SplitterConfig  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = tr.sf_from_dir(sf_dir)
+
+    fixture = tr.ensure_transcripts(sf_dir)
+    spark = build_spark(
+        app_name="kgspark-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(cpus, 2 * cpus),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+
+    def timed(name: str, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        return out
+
+    transcripts = spark.read.parquet(fixture)
+
+    # --- headline: KG pipeline, stage-timed -------------------------------
+    t_pipeline0 = time.perf_counter()
+    documents = assemble_documents(transcripts)
+    chunks = split_fixed_size(
+        documents, SplitterConfig(600, 200, approximate=True)
+    ).persist()
+    timed("kg_split", lambda: chunks.count())
+
+    graph_rows = extract_graph_rows(
+        chunks, regex_extractor(demo_rules()), num_partitions=4 * cpus
+    ).persist()
+    n_emitted = timed(
+        "kg_extract",
+        lambda: graph_rows.where(F.col("kind") == "edge").count(),
+    )
+
+    def finish():
+        entity_nodes, entity_edges = split_graph_rows(graph_rows)
+        lex_nodes, lex_edges = build_lexical_graph(documents, chunks)
+        # Persist + EAGERLY materialize stage boundaries: each frame below
+        # feeds 2+ consumers (pruning joins, dedupe, resolution, triples
+        # view), and AQE submits those consumer exchanges concurrently — a
+        # lazy cache would be computed redundantly by each of them.
+        nodes = lex_nodes.unionByName(entity_nodes).persist()
+        edges = lex_edges.unionByName(entity_edges).persist()
+        nodes.count(), edges.count()
+        nodes, edges, _, _ = prune_graph(nodes, edges, demo_schema())
+        nodes = nodes.persist()
+        nodes.count()
+        edges = dedupe_edges(edges).persist()
+        edges.count()
+        nodes, edges, _ = resolve_exact(nodes, edges)
+        return triples_view(nodes, edges).count()
+
+    canonical_triples = timed("kg_prune_resolve", finish)
+    pipeline_sec = round(time.perf_counter() - t_pipeline0, 3)
+    timings["kg_pipeline_total"] = pipeline_sec
+
+    # --- representative operator queries ----------------------------------
+    import __spark_entry__ as em
+
+    for name in (
+        "events_sessionize",
+        "top_customers_by_revenue",
+        "ann_topk_bruteforce",
+        "lineitem_pricing_summary",
+    ):
+        fn = em.queries()[name]
+        timed(name, lambda fn=fn: fn(spark, sf_dir).count())
+
+    extract_sec = timings["kg_split"] + timings["kg_extract"]
+    result = {
+        "metric": "kg_pipeline_sec",
+        "value": pipeline_sec,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "parallelism": cpus,
+        "triples_emitted": n_emitted,
+        "triples_per_sec": round(n_emitted / extract_sec, 1) if extract_sec else None,
+        "canonical_triples": canonical_triples,
+    }
+    spark.stop()
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -199,13 +199,17 @@ def extract_graph_rows(
             "status",
         ]
         for pdf in batches:
-            # prepend boundary context (≤2 chars) so sentence-anchored
-            # extractors see the true sentence boundary at chunk starts;
-            # captured spans always lie inside the chunk text itself.
+            # Prepend boundary context (≤2 chars) so sentence-anchored
+            # extractors see the true sentence boundary at chunk starts.
+            # A \x00 sentinel leads any non-empty context: without it, a
+            # context that reconstructs a split word ("Sm" + "ith works…")
+            # would let ^ match a truncated name at string start.  The
+            # sentinel can never be part of a match, and ^ only fires for
+            # genuine document starts (empty context).
             if "boundary_ctx" in pdf.columns:
-                model_inputs = list(
-                    pdf["boundary_ctx"].fillna("") + pdf["text"].fillna("")
-                )
+                ctx = pdf["boundary_ctx"].fillna("")
+                sentinel = ctx.map(lambda c: "\x00" if c else "")
+                model_inputs = list(sentinel + ctx + pdf["text"].fillna(""))
             else:
                 model_inputs = list(pdf["text"].fillna(""))
             raw_outputs = extractor_fn(model_inputs)

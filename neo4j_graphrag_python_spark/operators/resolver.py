@@ -144,7 +144,10 @@ def resolve_exact(
     resolve_property: str = "name",
 ) -> tuple[DataFrame, DataFrame, ResolutionStats]:
     """SinglePropertyExactMatchResolver.run (resolver.py:112-168)."""
-    mapping = exact_match_mapping(nodes, resolve_property)
+    # persist: the mapping feeds three joins (node anti-join + two edge
+    # re-pointings) plus the stats aggregate — without it the whole
+    # upstream extract/prune DAG re-executes per consumer.
+    mapping = exact_match_mapping(nodes, resolve_property).persist()
     stats_row = mapping.agg(
         F.count("*").alias("n"),
         F.countDistinct("canonical_id").alias("c"),

@@ -127,7 +127,9 @@ def checkpoint_stage(
     With a checkpoint_dir: write parquet once, read back (re-runs and
     downstream branching reuse the files — extraction runs exactly once
     even though nodes and edges both consume it).  Without: Spark
-    persist() as a cheap in-memory stand-in for tests.
+    persist(), eagerly materialized — downstream consumers are submitted
+    concurrently by AQE, and a lazy cache would be computed redundantly by
+    each of them.
     """
     if checkpoint_dir:
         path = str(Path(checkpoint_dir) / stage)
@@ -135,4 +137,6 @@ def checkpoint_stage(
         if not marker.exists():
             df.write.mode("overwrite").parquet(path)
         return df.sparkSession.read.parquet(path)
-    return df.persist()
+    df = df.persist()
+    df.count()
+    return df

@@ -88,10 +88,15 @@ def run_kg_pipeline(
 
     if cfg.create_lexical_graph:
         lex_nodes, lex_edges = build_lexical_graph(documents, chunks, cfg.lexical)
-        nodes = lex_nodes.unionByName(entity_nodes)
-        edges = lex_edges.unionByName(entity_edges)
+        # persist + eager materialize: pruning reads nodes twice (kept +
+        # edge-label join), edges feed prune and the pruned side-output,
+        # and AQE submits those consumers concurrently
+        nodes = lex_nodes.unionByName(entity_nodes).persist()
+        edges = lex_edges.unionByName(entity_edges).persist()
+        nodes.count(), edges.count()
     else:
-        nodes, edges = entity_nodes, entity_edges
+        nodes, edges = entity_nodes.persist(), entity_edges.persist()
+        nodes.count(), edges.count()
 
     nodes, edges, pruned_nodes, pruned_edges = prune_graph(
         nodes, edges, schema, cfg.lexical
