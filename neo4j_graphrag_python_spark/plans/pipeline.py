@@ -24,6 +24,7 @@ from neo4j_graphrag_python_spark.operators.assemble import assemble_documents
 from neo4j_graphrag_python_spark.operators.embedder import embed_column
 from neo4j_graphrag_python_spark.operators.extractor import (
     ExtractorFn,
+    extract_from_documents,
     extract_graph_rows,
     split_graph_rows,
 )
@@ -70,19 +71,35 @@ def run_kg_pipeline(
     ckpt = cfg.checkpoint_dir
 
     documents = assemble_documents(transcripts)
-    chunks = split_fixed_size(documents, cfg.splitter)
-    chunks = checkpoint_stage(chunks, ckpt, "chunks")
-    if embed_chunks:
-        chunks = embed_column(chunks)
+    chunks = None
+    if ckpt or cfg.create_lexical_graph or embed_chunks:
+        chunks = split_fixed_size(documents, cfg.splitter)
+        chunks = checkpoint_stage(chunks, ckpt, "chunks")
+        if embed_chunks:
+            chunks = embed_column(chunks)
 
-    # extraction — the expensive stage: one pass, checkpointed, then split
-    graph_rows = extract_graph_rows(
-        chunks,
-        extractor_fn,
-        on_error=cfg.on_error,
-        lexical_config=cfg.lexical,
-        num_partitions=cfg.extract_partitions,
-    )
+    # extraction — the expensive stage: one pass, checkpointed, then split.
+    # With a checkpoint_dir the staged path runs over the (checkpointed)
+    # chunks table so a resume skips straight to extraction; without one,
+    # the fused split+extract operator avoids a second Python round trip
+    # (identical output — tests/test_fused_extract.py).
+    if ckpt:
+        graph_rows = extract_graph_rows(
+            chunks,
+            extractor_fn,
+            on_error=cfg.on_error,
+            lexical_config=cfg.lexical,
+            num_partitions=cfg.extract_partitions,
+        )
+    else:
+        graph_rows = extract_from_documents(
+            documents,
+            extractor_fn,
+            splitter_config=cfg.splitter,
+            on_error=cfg.on_error,
+            lexical_config=cfg.lexical,
+            num_partitions=cfg.extract_partitions,
+        )
     graph_rows = checkpoint_stage(graph_rows, ckpt, "graph_rows")
     entity_nodes, entity_edges = split_graph_rows(graph_rows)
 

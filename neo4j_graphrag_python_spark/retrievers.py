@@ -1,0 +1,94 @@
+"""Query-side retrieval over the materialized graph (reference v2 scope).
+
+Spark equivalents of the reference retrievers (SURVEY.md §2.8):
+
+  * VectorRetriever (retrievers/vector.py:145-223): embed query → cosine
+    over node embeddings → top-k; optional metadata filters compiled by
+    functions/filters.py (pushdown-capable, replacing the reference's
+    filtered exact-KNN path neo4j_queries.py:214-252);
+  * HybridRetriever (retrievers/hybrid.py): vector ∪ fulltext with
+    per-source max-normalization and naive/linear fusion
+    (neo4j_queries.py:148-211) — fusion math in operators/similarity.py;
+  * fulltext search: tokenized term match scored by hit count (a
+    DataFrame stand-in for the Lucene index the reference creates with
+    db.index.fulltext; at scale, back this with an inverted table).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+from neo4j_graphrag_python_spark.functions.embedding import DEFAULT_DIM, embed_text
+from neo4j_graphrag_python_spark.functions.filters import filter_to_column
+from neo4j_graphrag_python_spark.operators.similarity import (
+    cosine_col,
+    hybrid_fusion,
+)
+
+
+def vector_search(
+    nodes: DataFrame,
+    query_text: str | None = None,
+    query_vector: Sequence[float] | None = None,
+    top_k: int = 5,
+    filters: dict[str, Any] | None = None,
+    embedding_col: str = "embedding",
+) -> DataFrame:
+    """→ (id, score) top-k by cosine; optional property-bag filters."""
+    if query_vector is None:
+        if query_text is None:
+            raise ValueError("provide query_text or query_vector")
+        query_vector = embed_text(query_text, DEFAULT_DIM).tolist()
+    base = nodes.where(F.col(embedding_col).isNotNull())
+    if filters:
+        base = base.where(
+            filter_to_column(
+                filters, lambda f: F.col("properties").getItem(f)
+            )
+        )
+    q = F.array(*[F.lit(float(x)) for x in query_vector])
+    scored = base.select(
+        "id",
+        cosine_col(F.col(embedding_col).cast("array<double>"), q).alias("score"),
+    )
+    return scored.orderBy(F.desc("score"), "id").limit(top_k)
+
+
+def fulltext_search(
+    nodes: DataFrame,
+    query_text: str,
+    text_property: str = "name",
+    top_k: int = 5,
+) -> DataFrame:
+    """Term-hit scoring over a property: score = #query terms contained
+    (lowercased).  → (id, score)."""
+    terms = [t for t in query_text.lower().split() if t]
+    if not terms:
+        raise ValueError("empty query")
+    prop = F.lower(F.coalesce(F.col("properties").getItem(text_property), F.lit("")))
+    score = sum(
+        (F.when(prop.contains(t), F.lit(1.0)).otherwise(F.lit(0.0)) for t in terms),
+        F.lit(0.0),
+    )
+    return (
+        nodes.select("id", score.alias("score"))
+        .where(F.col("score") > 0)
+        .orderBy(F.desc("score"), "id")
+        .limit(top_k)
+    )
+
+
+def hybrid_search(
+    nodes: DataFrame,
+    query_text: str,
+    top_k: int = 5,
+    alpha: float | None = None,
+    text_property: str = "name",
+) -> DataFrame:
+    """Vector ∪ fulltext with max-normalized fusion (reference
+    HybridRetriever semantics; alpha=None → naive max fusion)."""
+    v = vector_search(nodes, query_text=query_text, top_k=top_k * 4)
+    ft = fulltext_search(nodes, query_text, text_property, top_k=top_k * 4)
+    return hybrid_fusion(v, ft, alpha=alpha, k=top_k)

@@ -41,6 +41,10 @@ def build_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # scan splits: fixtures compress heavily (50k-row groups, ~1MB
+        # each); default 128MB maxPartitionBytes would give single-digit
+        # scan tasks and cap scan parallelism
+        .config("spark.sql.files.maxPartitionBytes", "16m")
         .config("spark.sql.session.timeZone", "UTC")
         # local mode: executors live in the driver JVM — size it for
         # task-thread count × cached stage boundaries

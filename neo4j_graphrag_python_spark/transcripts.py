@@ -207,7 +207,9 @@ def write_transcripts(path: str | Path, sf: float, seed: int = SEED) -> Path:
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
     tmp = path.with_suffix(".tmp.parquet")
-    pq.write_table(table, tmp)
+    # small row groups: Spark parallelizes parquet scans at row-group
+    # granularity — one fat row group would serialize the whole read
+    pq.write_table(table, tmp, row_group_size=50_000)
     tmp.replace(path)
     return path
 

@@ -1,0 +1,154 @@
+"""Similarity search, retrievers, and text-analysis operators."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from neo4j_graphrag_python_spark.functions.embedding import embed_text
+from neo4j_graphrag_python_spark.operators.similarity import (
+    build_ann_index,
+    hybrid_fusion,
+    topk_ann,
+    topk_bruteforce,
+    topk_multi_query,
+)
+from neo4j_graphrag_python_spark.operators.text_analysis import (
+    doc_fingerprints,
+    language_id,
+    quality_score,
+    token_stats,
+)
+from neo4j_graphrag_python_spark.retrievers import (
+    fulltext_search,
+    hybrid_search,
+    vector_search,
+)
+from neo4j_graphrag_python_spark.types import NODES_SCHEMA
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def test_topk_bruteforce_self_is_best(spark, emb) -> None:
+    q = emb.where(F.col("vec_id") == 7).collect()[0]["embedding"]
+    top = topk_bruteforce(emb, q, k=3).collect()
+    assert top[0]["id"] == 7 and top[0]["score"] == 1.0
+
+
+def test_ann_recall_vs_bruteforce(spark, emb) -> None:
+    q = emb.where(F.col("vec_id") == 7).collect()[0]["embedding"]
+    exact = {r["id"] for r in topk_bruteforce(emb, q, k=10).collect()}
+    indexed, planes = build_ann_index(emb, dim=64, num_planes=6)
+    indexed = indexed.persist()
+    approx = {r["id"] for r in topk_ann(indexed, planes, q, k=10, probe_hamming=2).collect()}
+    # LSH with 6 planes and 2-flip probing should recover most of top-10
+    assert len(exact & approx) >= 5
+    assert 7 in approx
+
+
+def test_topk_multi_query(spark, emb) -> None:
+    queries = emb.where(F.col("vec_id").isin([0, 1])).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    res = topk_multi_query(emb, queries, k=5)
+    rows = res.collect()
+    assert len(rows) == 10
+    for r in rows:
+        if r["id"] == r["query_id"]:
+            assert r["rank"] == 1 and r["score"] == 1.0
+
+
+def test_hybrid_fusion_max_and_linear(spark) -> None:
+    v = spark.createDataFrame([(1, 0.8), (2, 0.4)], ["id", "score"])
+    ft = spark.createDataFrame([(2, 2.0), (3, 1.0)], ["id", "score"])
+    fused = {r["id"]: r["score"] for r in hybrid_fusion(v, ft, k=3).collect()}
+    assert fused[1] == 1.0 and fused[2] == 1.0 and fused[3] == 0.5
+    lin = {r["id"]: r["score"] for r in hybrid_fusion(v, ft, alpha=0.5, k=3).collect()}
+    assert lin[2] == pytest.approx(0.75)  # 0.5*0.5 + 0.5*1.0
+
+
+@pytest.fixture(scope="module")
+def entity_nodes(spark):
+    names = ["Alice", "Bob", "Alice Smith", "Acme Corp"]
+    rows = [
+        (
+            f"n{i}",
+            "Person",
+            True,
+            {"name": n},
+            [float(x) for x in embed_text(n)],
+            "c1",
+            "u1",
+        )
+        for i, n in enumerate(names)
+    ]
+    return spark.createDataFrame(rows, NODES_SCHEMA)
+
+
+def test_vector_search_with_filters(entity_nodes) -> None:
+    res = vector_search(entity_nodes, query_text="Alice", top_k=2)
+    assert res.collect()[0]["id"] == "n0"
+    res = vector_search(
+        entity_nodes,
+        query_text="Alice",
+        top_k=2,
+        filters={"name": {"$ilike": "alice smith"}},
+    )
+    rows = res.collect()
+    assert [r["id"] for r in rows] == ["n2"]
+
+
+def test_fulltext_and_hybrid(entity_nodes) -> None:
+    ft = fulltext_search(entity_nodes, "alice smith", top_k=3).collect()
+    assert ft[0]["id"] == "n2" and ft[0]["score"] == 2.0
+    hy = hybrid_search(entity_nodes, "Alice", top_k=2)
+    assert hy.collect()[0]["id"] == "n0"
+
+
+@pytest.fixture(scope="module")
+def textdocs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "The quick brown fox and the lazy dog in the yard"),
+            (2, "der hund und die katze sind nicht das problem"),
+            (3, ""),
+            (4, "aaa aaa aaa aaa aaa aaa"),
+        ],
+        ["doc_id", "text"],
+    )
+
+
+def test_token_stats(textdocs) -> None:
+    s = {r["id"]: r for r in token_stats(textdocs).collect()}
+    assert s[1]["n_tokens"] == 11
+    assert s[1]["n_distinct_tokens"] == 9  # 'the' ×3 (case-folded)
+    assert s[3]["n_tokens"] == 0 and s[3]["n_chars"] == 0
+    assert s[4]["n_distinct_tokens"] == 1
+
+
+def test_quality_score(textdocs) -> None:
+    q = {r["id"]: r for r in quality_score(textdocs).collect()}
+    assert q[1]["quality"] > q[4]["quality"]  # repetition penalized
+    assert q[3]["quality"] == 0.0
+    assert 0 <= q[1]["alpha_ratio"] <= 1
+
+
+def test_language_id(textdocs) -> None:
+    langs = {r["id"]: r["lang_pred"] for r in language_id(textdocs).collect()}
+    assert langs[1] == "en"
+    assert langs[2] == "de"
+    assert langs[3] == "und"
+
+
+def test_doc_fingerprints(textdocs) -> None:
+    fp = doc_fingerprints(textdocs)
+    rows = fp.collect()
+    assert all(r["fingerprint"] >= 0 for r in rows)
+    # identical docs → identical fingerprint sets
+    by_id: dict = {}
+    for r in rows:
+        by_id.setdefault(r["id"], set()).add(r["fingerprint"])
+    assert by_id[1] and by_id[4]

@@ -1,0 +1,127 @@
+"""Resumable writes, streaming pipeline, multimodal plumbing."""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from neo4j_graphrag_python_spark.operators.multimodal import (
+    extract_features,
+    frame_sample_plan,
+    real_decoder_stub,
+)
+from neo4j_graphrag_python_spark.operators.writer import (
+    completed_buckets,
+    dedupe_edges,
+    read_resumable,
+    write_resumable,
+)
+from neo4j_graphrag_python_spark.types import EDGES_SCHEMA
+
+
+def test_write_resumable_skips_completed(spark, tmp_path) -> None:
+    df = spark.range(1000).select(
+        F.col("id"), F.concat(F.lit("k"), F.col("id")).alias("key")
+    )
+    path = str(tmp_path / "out")
+    r1 = write_resumable(df, path, key_col="key", num_buckets=8)
+    assert sorted(r1["written"]) == list(range(8)) and r1["skipped"] == []
+    assert read_resumable(spark, path).count() == 1000
+
+    # simulate a crash that lost two bucket manifests → only those rerun
+    for b in (2, 5):
+        (Path(path) / "_manifest" / f"{b}.json").unlink()
+    assert completed_buckets(path) == {0, 1, 3, 4, 6, 7}
+    r2 = write_resumable(df, path, key_col="key", num_buckets=8)
+    assert sorted(r2["written"]) == [2, 5]
+    assert sorted(r2["skipped"]) == [0, 1, 3, 4, 6, 7]
+    assert read_resumable(spark, path).count() == 1000
+
+    # fully complete → everything skipped, data intact
+    r3 = write_resumable(df, path, key_col="key", num_buckets=8)
+    assert r3["written"] == [] and len(r3["skipped"]) == 8
+    assert read_resumable(spark, path).count() == 1000
+
+
+def test_dedupe_edges_first_wins(spark) -> None:
+    rows = [
+        ("a", "b", "REL", {"w": "2"}, "c1", "u2"),
+        ("a", "b", "REL", {"w": "1"}, "c1", "u1"),  # earlier chunk wins
+        ("a", "c", "REL", {}, "c1", "u1"),
+    ]
+    edges = spark.createDataFrame(rows, EDGES_SCHEMA)
+    out = {(r["start_node_id"], r["end_node_id"]): r for r in dedupe_edges(edges).collect()}
+    assert len(out) == 2
+    assert out[("a", "b")]["properties"] == {"w": "1"}
+
+
+def test_streaming_pipeline(spark, tmp_path) -> None:
+    from neo4j_graphrag_python_spark import transcripts as tr
+    from neo4j_graphrag_python_spark.operators.extractor import (
+        demo_rules,
+        regex_extractor,
+    )
+    from neo4j_graphrag_python_spark.schema import demo_schema
+    from neo4j_graphrag_python_spark.streaming.stream import (
+        read_transcript_stream,
+        stream_kg_pipeline,
+    )
+    from neo4j_graphrag_python_spark.types import PipelineConfig, SplitterConfig
+
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    tr.write_transcripts(src / "batch1.parquet", 0.0001)
+
+    stream = read_transcript_stream(spark, str(src))
+    assert stream.isStreaming
+    q = stream_kg_pipeline(
+        stream,
+        regex_extractor(demo_rules()),
+        output_dir=str(tmp_path / "out"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        schema=demo_schema(),
+        config=PipelineConfig(splitter=SplitterConfig(600, 200)),
+        trigger_once=True,
+    )
+    q.awaitTermination(180)
+    nodes = spark.read.parquet(str(tmp_path / "out" / "nodes"))
+    assert nodes.count() > 0
+    assert nodes.where(F.col("label") == "Person").count() > 0
+
+
+def test_multimodal_features_deterministic(spark) -> None:
+    media = spark.createDataFrame(
+        [
+            ("m1", "image", bytearray(b"payload-1"), {"w": "64"}),
+            ("m2", "image", bytearray(b"payload-1"), {"w": "64"}),
+            ("m3", "audio", bytearray(b"other"), {}),
+        ],
+        "media_id string, kind string, payload binary, meta map<string,string>",
+    )
+    rows = {r["media_id"]: r for r in extract_features(media).collect()}
+    assert rows["m1"]["status"] == "ok"
+    assert rows["m1"]["feature"] == rows["m2"]["feature"]  # deterministic
+    assert rows["m1"]["feature"] != rows["m3"]["feature"]
+    assert rows["m1"]["n_bytes"] == 9
+
+
+def test_multimodal_decoder_stub_surfaces_status(spark) -> None:
+    media = spark.createDataFrame(
+        [("m1", "video", bytearray(b"x"), {})],
+        "media_id string, kind string, payload binary, meta map<string,string>",
+    )
+    rows = extract_features(media, decode_fn=real_decoder_stub).collect()
+    assert rows[0]["status"] == "error:decoder-not-available"
+    assert rows[0]["feature"] is None
+
+
+def test_frame_sample_plan(spark) -> None:
+    media = spark.createDataFrame(
+        [("v1", "video", bytearray(b"x"), {"duration_s": "3.5"})],
+        "media_id string, kind string, payload binary, meta map<string,string>",
+    )
+    frames = frame_sample_plan(media, every_n_seconds=1.0).collect()
+    assert [r["frame_ts"] for r in frames] == [0.0, 1.0, 2.0]
