@@ -113,9 +113,12 @@ def main() -> None:
         nodes, edges, _, _ = prune_graph(nodes, edges, demo_schema())
         nodes = nodes.persist()
         nodes.count()
-        edges = dedupe_edges(edges).persist()
+        structural = ("NEXT_CHUNK", "FROM_DOCUMENT")
+        edges = dedupe_edges(edges, skip_types=structural).persist()
         edges.count()
-        nodes, edges, _ = resolve_exact(nodes, edges)
+        nodes, edges, _ = resolve_exact(
+            nodes, edges, untouched_edge_types=structural
+        )
         return triples_view(nodes, edges).count()
 
     # scaling runs (scripts/bench_scaling.py) measure the compute-bound

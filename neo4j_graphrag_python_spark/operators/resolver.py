@@ -53,7 +53,10 @@ from neo4j_graphrag_python_spark.types import ResolutionStats
 
 
 def apply_merge_mapping(
-    nodes: DataFrame, edges: DataFrame, mapping: DataFrame
+    nodes: DataFrame,
+    edges: DataFrame,
+    mapping: DataFrame,
+    untouched_types: tuple[str, ...] | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Apply (id → canonical_id) to the graph.
 
@@ -62,12 +65,23 @@ def apply_merge_mapping(
     * edge endpoints are re-pointed (two equi joins — J3);
     * parallel edges with same (start, type, end) are merged keeping the
       first property bag by chunk order (apoc mergeRels:true analog).
+
+    ``untouched_types``: edge types whose endpoints can never be entities
+    (NEXT_CHUNK, FROM_DOCUMENT) skip re-pointing and dedupe entirely —
+    they dominate the edge count, so this keeps both shuffles to the
+    entity-adjacent minority (FROM_CHUNK starts at an entity and IS
+    re-pointed).
     """
     non_identity = mapping.where(F.col("id") != F.col("canonical_id"))
     merged_away = non_identity.select(F.col("id").alias("_mid"))
     new_nodes = nodes.join(
         merged_away, nodes.id == merged_away._mid, "left_anti"
     )
+
+    passthrough = None
+    if untouched_types:
+        passthrough = edges.where(F.col("type").isin(list(untouched_types)))
+        edges = edges.where(~F.col("type").isin(list(untouched_types)))
 
     for endpoint in ("start_node_id", "end_node_id"):
         m = non_identity.select(
@@ -95,6 +109,13 @@ def apply_merge_mapping(
             F.col("_first.chunk_uid").alias("chunk_uid"),
         )
     )
+    if passthrough is not None:
+        new_edges = new_edges.unionByName(
+            passthrough.select(
+                "start_node_id", "end_node_id", "type",
+                "properties", "conv_id", "chunk_uid",
+            )
+        )
     return new_nodes, new_edges
 
 
@@ -142,6 +163,7 @@ def resolve_exact(
     nodes: DataFrame,
     edges: DataFrame,
     resolve_property: str = "name",
+    untouched_edge_types: tuple[str, ...] | None = None,
 ) -> tuple[DataFrame, DataFrame, ResolutionStats]:
     """SinglePropertyExactMatchResolver.run (resolver.py:112-168)."""
     # persist: the mapping feeds three joins (node anti-join + two edge
@@ -152,7 +174,9 @@ def resolve_exact(
         F.count("*").alias("n"),
         F.countDistinct("canonical_id").alias("c"),
     ).collect()[0]
-    new_nodes, new_edges = apply_merge_mapping(nodes, edges, mapping)
+    new_nodes, new_edges = apply_merge_mapping(
+        nodes, edges, mapping, untouched_types=untouched_edge_types
+    )
     stats = ResolutionStats(
         number_of_nodes_to_resolve=stats_row["n"],
         number_of_created_nodes=stats_row["c"],
@@ -353,6 +377,7 @@ def resolve_similarity(
     resolve_properties: list[str] | None = None,
     similarity_threshold: float = 0.8,
     lsh_jaccard_distance: float = 0.7,
+    untouched_edge_types: tuple[str, ...] | None = None,
 ) -> tuple[DataFrame, DataFrame, ResolutionStats]:
     """Fuzzy / semantic resolution (resolver.py:179-313 pipeline shape)."""
     props = resolve_properties or ["name"]
@@ -378,7 +403,9 @@ def resolve_similarity(
         .persist()
     )
     n_merged = mapping.where(F.col("id") != F.col("canonical_id")).count()
-    new_nodes, new_edges = apply_merge_mapping(nodes, edges, mapping)
+    new_nodes, new_edges = apply_merge_mapping(
+        nodes, edges, mapping, untouched_types=untouched_edge_types
+    )
     stats = ResolutionStats(
         number_of_nodes_to_resolve=n_scope,
         number_of_created_nodes=n_scope - n_merged,

@@ -30,9 +30,24 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
-def dedupe_edges(edges: DataFrame) -> DataFrame:
+def dedupe_edges(
+    edges: DataFrame, skip_types: tuple[str, ...] | None = None
+) -> DataFrame:
     """apoc.merge.relationship semantics (one edge per (start,type,end));
-    first property bag by (chunk_uid, conv_id) order wins."""
+    first property bag by (chunk_uid, conv_id) order wins.
+
+    ``skip_types``: structural edge types that are unique by construction
+    (NEXT_CHUNK, FROM_DOCUMENT: one per chunk) bypass the groupBy — they
+    usually dominate the edge count, so this keeps the shuffle to the
+    entity-edge minority.
+    """
+    if skip_types:
+        passthrough = edges.where(F.col("type").isin(list(skip_types)))
+        rest = edges.where(~F.col("type").isin(list(skip_types)))
+        return passthrough.select(
+            "start_node_id", "end_node_id", "type",
+            "properties", "conv_id", "chunk_uid",
+        ).unionByName(dedupe_edges(rest))
     return (
         edges.groupBy("start_node_id", "type", "end_node_id")
         .agg(

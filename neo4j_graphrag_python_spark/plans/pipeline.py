@@ -119,13 +119,23 @@ def run_kg_pipeline(
         nodes, edges, schema, cfg.lexical
     )
 
-    edges = dedupe_edges(edges)
+    # NEXT_CHUNK / FROM_DOCUMENT edges are structural (unique by
+    # construction, never entity-adjacent): exclude them from the dedupe
+    # and resolution shuffles — they dominate the edge count.
+    structural = (
+        cfg.lexical.next_chunk_relationship_type,
+        cfg.lexical.chunk_to_document_relationship_type,
+    )
+    edges = dedupe_edges(edges, skip_types=structural)
 
     stats = None
     if cfg.perform_entity_resolution:
         nodes = checkpoint_stage(nodes, ckpt, "nodes_pre_resolve")
         edges = checkpoint_stage(edges, ckpt, "edges_pre_resolve")
-        nodes, edges, stats = resolve_exact(nodes, edges, cfg.resolve_property)
+        nodes, edges, stats = resolve_exact(
+            nodes, edges, cfg.resolve_property,
+            untouched_edge_types=structural,
+        )
 
     return KGResult(
         nodes=nodes,
