@@ -344,6 +344,12 @@ def q_doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return language_id(_read(spark, sf_dir, "documents"))
 
 
+def q_doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neo4j_graphrag_python_spark.operators.text_analysis import bpe_token_count
+
+    return bpe_token_count(_read(spark, sf_dir, "documents"))
+
+
 def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup candidates over assembled conversation docs
     (rows-only check: LSH banding has no SQL equivalent)."""
@@ -405,6 +411,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup_pairs": q_embedding_neardup_pairs,
         "doc_quality": q_doc_quality,
         "doc_lang_id": q_doc_lang_id,
+        "doc_bpe_tokens": q_doc_bpe_tokens,
         "dedup_minhash_pairs": q_dedup_minhash_pairs,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "doc_fingerprints": q_doc_fingerprints,
@@ -495,7 +502,16 @@ def _lang_hits_sql() -> tuple[str, str]:
 
 def oracle_sql() -> dict[str, str]:
     lang_list, hit_exprs = _lang_hits_sql()
+    from neo4j_graphrag_python_spark.operators.text_analysis import BPE_ISH_PATTERN
+
+    bpe_sql_pattern = BPE_ISH_PATTERN.replace("'", "''")
     return {
+        "doc_bpe_tokens": f"""
+SELECT doc_id AS id,
+       CAST(len(regexp_extract_all(coalesce(text, ''), '{bpe_sql_pattern}')) AS BIGINT)
+         AS n_bpe_tokens
+FROM documents
+""",
         "kg_documents": _DOCS_CTE
         + "SELECT conv_id, doc AS doc_text, n_turns FROM docs",
         "kg_turn_lineage": f"""
@@ -664,7 +680,7 @@ WITH base AS (
   FROM base
 )
 SELECT id,
-       CASE WHEN max(hits) > 0 THEN arg_max(lang, (hits, lang))
+       CASE WHEN max(hits) > 0 THEN (max({{'h': hits, 'l': lang}})).l
             ELSE 'und' END AS lang_pred,
        CAST(max(hits) AS BIGINT) AS lang_hits
 FROM hits GROUP BY id

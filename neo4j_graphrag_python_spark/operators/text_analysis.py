@@ -57,6 +57,31 @@ def token_stats(
     )
 
 
+# GPT-2-style pre-tokenizer shape, RE2-safe (no lookahead): contraction
+# suffixes, letter runs, digit runs, punctuation runs, whitespace runs.
+# Counting matches approximates BPE pre-token count (each pre-token maps to
+# ≥1 BPE token; the ratio is stable for cost estimation).
+BPE_ISH_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def bpe_token_count(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """BPE-ish pre-token counts per document — whitespace tokens undercount
+    punctuation-heavy text badly; this is the standard cost-estimation
+    tokenizer shape.  JVM-side regexp_extract_all, no Python."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.size(
+            F.regexp_extract_all(
+                F.coalesce(F.col(text_col), F.lit("")),
+                F.lit(BPE_ISH_PATTERN),
+                F.lit(0),
+            )
+        ).cast("long").alias("n_bpe_tokens"),
+    )
+
+
 def quality_score(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
