@@ -80,6 +80,54 @@ def fulltext_search(
     )
 
 
+def expand_neighborhood(
+    edges: DataFrame,
+    start_ids: DataFrame,
+    hops: int = 1,
+    rel_types: list[str] | None = None,
+    direction: str = "both",
+) -> DataFrame:
+    """k-hop neighborhood expansion — the join-based traversal tail of
+    VectorCypherRetriever (reference retrievers/vector.py:226-392: vector
+    search result piped into a Cypher pattern).
+
+    ``start_ids``: DataFrame with column ``id``.  Returns
+    (id, hop) — the frontier id set with its first-reached hop distance.
+    Each hop is one (broadcastable) equi join against the edge table;
+    Cypher variable-length patterns map to a loop of joins exactly like
+    this at any scale.
+    """
+    e = edges
+    if rel_types:
+        e = e.where(F.col("type").isin(rel_types))
+    if direction == "out":
+        pairs = e.select(F.col("start_node_id").alias("src"), F.col("end_node_id").alias("dst"))
+    elif direction == "in":
+        pairs = e.select(F.col("end_node_id").alias("src"), F.col("start_node_id").alias("dst"))
+    else:
+        pairs = e.select(
+            F.col("start_node_id").alias("src"), F.col("end_node_id").alias("dst")
+        ).unionByName(
+            e.select(F.col("end_node_id").alias("src"), F.col("start_node_id").alias("dst"))
+        )
+    visited = start_ids.select("id", F.lit(0).alias("hop"))
+    frontier = visited
+    for h in range(1, hops + 1):
+        neighbors = (
+            frontier.join(pairs, frontier.id == pairs.src)
+            .select(F.col("dst").alias("id"))
+            .distinct()
+            .join(visited.select("id"), "id", "left_anti")
+            .select("id", F.lit(h).alias("hop"))
+        )
+        neighbors = neighbors.persist()
+        if neighbors.isEmpty():
+            break
+        visited = visited.unionByName(neighbors).persist()
+        frontier = neighbors
+    return visited
+
+
 def hybrid_search(
     nodes: DataFrame,
     query_text: str,

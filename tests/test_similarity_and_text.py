@@ -152,3 +152,37 @@ def test_doc_fingerprints(textdocs) -> None:
     for r in rows:
         by_id.setdefault(r["id"], set()).add(r["fingerprint"])
     assert by_id[1] and by_id[4]
+
+
+def test_expand_neighborhood(spark) -> None:
+    from pyspark.sql import functions as F
+
+    from neo4j_graphrag_python_spark.retrievers import expand_neighborhood
+    from neo4j_graphrag_python_spark.types import EDGES_SCHEMA
+
+    edges = spark.createDataFrame(
+        [
+            ("a", "b", "KNOWS", {}, "c", "u"),
+            ("b", "c", "KNOWS", {}, "c", "u"),
+            ("c", "d", "WORKS_FOR", {}, "c", "u"),
+            ("x", "y", "KNOWS", {}, "c", "u"),  # disconnected
+        ],
+        EDGES_SCHEMA,
+    )
+    start = spark.createDataFrame([("a",)], ["id"])
+    got = {
+        r["id"]: r["hop"]
+        for r in expand_neighborhood(edges, start, hops=3).collect()
+    }
+    assert got == {"a": 0, "b": 1, "c": 2, "d": 3}
+    # type filter: WORKS_FOR excluded stops at c
+    got2 = {
+        r["id"]: r["hop"]
+        for r in expand_neighborhood(
+            edges, start, hops=3, rel_types=["KNOWS"]
+        ).collect()
+    }
+    assert got2 == {"a": 0, "b": 1, "c": 2}
+    # direction: 'in' from a finds nothing
+    got3 = expand_neighborhood(edges, start, hops=2, direction="in").count()
+    assert got3 == 1  # just the start node
