@@ -332,6 +332,30 @@ def q_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_regional_supply_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-way dim chain (region ⋈ nation ⋈ supplier ⋈ lineitem ⋈ part):
+    supplied retail value per region/part-brand — broadcast dims, decimal-
+    exact aggregation surfaced as double."""
+    region = F.broadcast(_read(spark, sf_dir, "region"))
+    nation = F.broadcast(_read(spark, sf_dir, "nation"))
+    part = F.broadcast(_read(spark, sf_dir, "part"))
+    supplier = _read(spark, sf_dir, "supplier")
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.join(supplier, li.l_suppkey == supplier.s_suppkey)
+        .join(part, li.l_partkey == part.p_partkey)
+        .join(nation, supplier.s_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("p_brand").alias("brand"))
+        .agg(
+            F.count("*").alias("n_lineitems"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_qty"),
+        )
+    )
+
+
 def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from neo4j_graphrag_python_spark.operators.text_analysis import quality_score
 
@@ -409,6 +433,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_customers_by_revenue": q_top_customers_by_revenue,
         "ann_topk_bruteforce": q_ann_topk_bruteforce,
         "embedding_neardup_pairs": q_embedding_neardup_pairs,
+        "regional_supply_value": q_regional_supply_value,
         "doc_quality": q_doc_quality,
         "doc_lang_id": q_doc_lang_id,
         "doc_bpe_tokens": q_doc_bpe_tokens,
@@ -635,6 +660,17 @@ FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE round(list_dot_product(a.v, b.v)
       / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
       >= 0.4
+""",
+        "regional_supply_value": """
+SELECT r_name AS region, p_brand AS brand,
+       count(*) AS n_lineitems,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN part ON l_partkey = p_partkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, p_brand
 """,
         "doc_quality": r"""
 WITH base AS (
