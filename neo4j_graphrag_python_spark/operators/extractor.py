@@ -45,8 +45,15 @@ ExtractorFn = Callable[[List[str]], List[str]]
 GRAPH_ROWS_FIELDS = (
     "kind string, id string, label string, properties map<string,string>, "
     "start_node_id string, end_node_id string, type string, "
+    "start_label string, end_label string, "
     "conv_id string, chunk_uid string, status string"
 )
+# start_label/end_label: the extractor knows endpoint labels at emission
+# time (endpoints can only reference nodes of the same chunk — ids are
+# chunk-namespaced).  Carrying them lets pruning validate patterns and
+# endpoint existence WITHOUT joining the edge set against the node set:
+# a dangling within-chunk reference surfaces as a NULL label here, and
+# global existence ≡ within-chunk existence ∧ endpoint-not-pruned.
 
 
 class ExtractionError(RuntimeError):
@@ -220,6 +227,8 @@ _COLS = [
     "start_node_id",
     "end_node_id",
     "type",
+    "start_label",
+    "end_label",
     "conv_id",
     "chunk_uid",
     "status",
@@ -232,6 +241,7 @@ def _process_items(
     raise_on_error: bool,
     from_chunk_type: str,
     create_from_chunk_edges: bool,
+    chunk_node_label: str = "Chunk",
 ) -> dict[str, list]:
     """Shared extraction core: items = list of
     (conv_id, chunk_uid, chunk_index, model_input) → columnar graph rows.
@@ -242,7 +252,8 @@ def _process_items(
     raw_outputs = extractor_fn([it[3] for it in items])
     out: dict[str, list] = {c: [] for c in _COLS}
 
-    def emit(kind, nid, label, props, start, end, etype, conv, cuid, status):
+    def emit(kind, nid, label, props, start, end, etype, slabel, elabel,
+             conv, cuid, status):
         out["kind"].append(kind)
         out["id"].append(nid)
         out["label"].append(label)
@@ -250,6 +261,8 @@ def _process_items(
         out["start_node_id"].append(start)
         out["end_node_id"].append(end)
         out["type"].append(etype)
+        out["start_label"].append(slabel)
+        out["end_label"].append(elabel)
         out["conv_id"].append(conv)
         out["chunk_uid"].append(cuid)
         out["status"].append(status)
@@ -266,31 +279,36 @@ def _process_items(
         # update_ids semantics (entity_relation_extractor.py:141-158)
         prefix = f"{chunk_uid}:"
         chunk_index_str = str(int(chunk_index))
+        local_labels = {str(n["id"]): str(n["label"]) for n in graph["nodes"]}
         for n in graph["nodes"]:
             props = _props_to_str_map(n.get("properties"))
             props["chunk_index"] = chunk_index_str
             node_id = prefix + str(n["id"])
             emit(
                 "node", node_id, str(n["label"]), props,
-                None, None, None, conv_id, chunk_uid, status,
+                None, None, None, None, None, conv_id, chunk_uid, status,
             )
             if create_from_chunk_edges:
                 emit(
                     "edge", None, None, {}, node_id, chunk_uid,
-                    from_chunk_type, conv_id, chunk_uid, status,
+                    from_chunk_type, str(n["label"]), chunk_node_label,
+                    conv_id, chunk_uid, status,
                 )
         for r in graph["relationships"]:
             emit(
                 "edge", None, None, _props_to_str_map(r.get("properties")),
                 prefix + str(r["start_node_id"]),
                 prefix + str(r["end_node_id"]),
-                str(r["type"]), conv_id, chunk_uid, status,
+                str(r["type"]),
+                local_labels.get(str(r["start_node_id"])),
+                local_labels.get(str(r["end_node_id"])),
+                conv_id, chunk_uid, status,
             )
         if not graph["nodes"] and not graph["relationships"]:
             # keep an explicit per-chunk status row for lineage
             if status != "ok":
                 emit(
-                    "status", None, None, {}, None, None, None,
+                    "status", None, None, {}, None, None, None, None, None,
                     conv_id, chunk_uid, status,
                 )
     return out
@@ -347,6 +365,7 @@ def extract_graph_rows(
             out = _process_items(
                 items, extractor_fn, raise_on_error,
                 from_chunk_type, create_from_chunk_edges,
+                cfg.chunk_node_label,
             )
             yield _to_pdf(out)
 
@@ -417,6 +436,7 @@ def extract_from_documents(
             out = _process_items(
                 items, extractor_fn, raise_on_error,
                 from_chunk_type, create_from_chunk_edges,
+                cfg.chunk_node_label,
             )
             yield _to_pdf(out)
 
@@ -446,6 +466,8 @@ def split_graph_rows(graph_rows: DataFrame) -> tuple[DataFrame, DataFrame]:
         "end_node_id",
         "type",
         "properties",
+        "start_label",
+        "end_label",
         "conv_id",
         "chunk_uid",
     )

@@ -82,6 +82,8 @@ def build_from_document_edges(
         F.col("conv_id").alias("end_node_id"),
         F.lit(config.chunk_to_document_relationship_type).alias("type"),
         _empty_props().alias("properties"),
+        F.lit(config.chunk_node_label).alias("start_label"),
+        F.lit(config.document_node_label).alias("end_label"),
         F.col("conv_id"),
         F.col("chunk_uid"),
     )
@@ -104,6 +106,8 @@ def build_next_chunk_edges(
             F.col("next_uid").alias("end_node_id"),
             F.lit(config.next_chunk_relationship_type).alias("type"),
             _empty_props().alias("properties"),
+            F.lit(config.chunk_node_label).alias("start_label"),
+            F.lit(config.chunk_node_label).alias("end_label"),
             F.col("conv_id"),
             F.col("chunk_uid"),
         )
@@ -128,5 +132,11 @@ def build_lexical_graph(
         nodes = chunk_nodes
         edges = build_next_chunk_edges(chunks, config)
     spark_nodes_cols = [f.name for f in NODES_SCHEMA.fields]
-    spark_edges_cols = [f.name for f in EDGES_SCHEMA.fields]
-    return nodes.select(*spark_nodes_cols), edges.select(*spark_edges_cols)
+    # edges keep start_label/end_label (consumed and dropped by pruning)
+    spark_edges_cols = [f.name for f in EDGES_SCHEMA.fields] + [
+        "start_label",
+        "end_label",
+    ]
+    return nodes.select(*spark_nodes_cols), edges.select(
+        *[c for c in spark_edges_cols if c in edges.columns]
+    )

@@ -120,37 +120,83 @@ def prune_edges(
     kept_nodes: DataFrame,
     schema: GraphSchema,
     lexical_config: LexicalGraphConfig | None = None,
+    pruned_nodes: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """→ (kept_edges, pruned_edges[reason]).
 
     ``kept_edges`` has directions corrected per the pattern rules.
+
+    Two execution strategies, same semantics:
+
+    * **label-carrying fast path** — when edges already carry
+      ``start_label``/``end_label`` (the extractor knows them: endpoints
+      can only reference same-chunk nodes) and ``pruned_nodes`` is
+      provided, endpoint validity needs NO join against the node set:
+      a dangling within-chunk reference arrives as a NULL label, and
+      "endpoint kept" reduces to two joins against the *pruned*-node id
+      set — normally tiny, so AQE broadcasts it.  The edge table is never
+      shuffled.
+    * **legacy path** — label columns absent: two left joins against kept
+      nodes fetch the labels (the reference's valid_nodes dict, J2).
     """
     cfg = lexical_config or LexicalGraphConfig()
     declared = {rt.label: rt for rt in schema.relationship_types}
     lex_types = list(cfg.lexical_graph_relationship_types)
 
+    carries_labels = (
+        "start_label" in edges.columns
+        and "end_label" in edges.columns
+        and pruned_nodes is not None
+    )
+
     lex_edges = edges.where(F.col("type").isin(lex_types))
     rest = edges.where(~F.col("type").isin(lex_types))
 
-    node_labels = kept_nodes.select(F.col("id").alias("_nid"), F.col("label"))
-    rest = (
-        rest.join(
-            node_labels.select(
-                F.col("_nid").alias("_sid"), F.col("label").alias("start_label")
-            ),
-            rest.start_node_id == F.col("_sid"),
-            "left",
+    if carries_labels:
+        pruned_ids = pruned_nodes.select(F.col("id").alias("_pid"))
+        rest = (
+            rest.join(
+                pruned_ids.select(F.col("_pid").alias("_ps")),
+                rest.start_node_id == F.col("_ps"),
+                "left",
+            )
+            .join(
+                pruned_ids.select(F.col("_pid").alias("_pe")),
+                F.col("end_node_id") == F.col("_pe"),
+                "left",
+            )
+            .withColumn(
+                "start_label",
+                F.when(F.col("_ps").isNull(), F.col("start_label")),
+            )
+            .withColumn(
+                "end_label",
+                F.when(F.col("_pe").isNull(), F.col("end_label")),
+            )
+            .drop("_ps", "_pe")
         )
-        .drop("_sid")
-        .join(
-            node_labels.select(
-                F.col("_nid").alias("_eid"), F.col("label").alias("end_label")
-            ),
-            F.col("end_node_id") == F.col("_eid"),
-            "left",
+    else:
+        if "start_label" in rest.columns:
+            rest = rest.drop("start_label", "end_label")
+        node_labels = kept_nodes.select(F.col("id").alias("_nid"), F.col("label"))
+        rest = (
+            rest.join(
+                node_labels.select(
+                    F.col("_nid").alias("_sid"), F.col("label").alias("start_label")
+                ),
+                rest.start_node_id == F.col("_sid"),
+                "left",
+            )
+            .drop("_sid")
+            .join(
+                node_labels.select(
+                    F.col("_nid").alias("_eid"), F.col("label").alias("end_label")
+                ),
+                F.col("end_node_id") == F.col("_eid"),
+                "left",
+            )
+            .drop("_eid")
         )
-        .drop("_eid")
-    )
 
     etype = F.col("type")
     is_declared = etype.isin(list(declared)) if declared else F.lit(False)
@@ -218,6 +264,9 @@ def prune_edges(
             "chunk_uid",
         )
     )
+    # kept edges leave in canonical schema: label columns are consumed here
+    if "start_label" in lex_edges.columns:
+        lex_edges = lex_edges.drop("start_label", "end_label")
     kept = lex_edges.unionByName(kept_rest)
     return kept, pruned
 
@@ -234,13 +283,21 @@ def prune_graph(
     Returns (nodes, edges, pruned_nodes, pruned_edges).
     """
     if schema is None:
+        from pyspark.sql import types as T
+
         spark = nodes.sparkSession
-        empty_n = spark.createDataFrame([], nodes.schema.add("pruned_reason", "string"))
-        empty_e = spark.createDataFrame([], edges.schema.add("pruned_reason", "string"))
+        # never call .add on a live df.schema — StructType.add mutates
+        def _with_reason(st):
+            return T.StructType(
+                list(st.fields) + [T.StructField("pruned_reason", T.StringType())]
+            )
+
+        empty_n = spark.createDataFrame([], _with_reason(nodes.schema))
+        empty_e = spark.createDataFrame([], _with_reason(edges.schema))
         return nodes, edges, empty_n, empty_e
     kept_nodes, pruned_nodes = prune_nodes(nodes, schema, lexical_config)
     kept_edges, pruned_edges = prune_edges(
-        edges, kept_nodes, schema, lexical_config
+        edges, kept_nodes, schema, lexical_config, pruned_nodes=pruned_nodes
     )
     return kept_nodes, kept_edges, pruned_nodes, pruned_edges
 

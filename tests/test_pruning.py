@@ -259,3 +259,64 @@ def test_pruning_stats(spark) -> None:
         ("node", "NOT_IN_SCHEMA"): 1,
         ("relationship", "INVALID_START_OR_END_NODE"): 1,
     }
+
+
+def test_prune_edges_fast_path_with_carried_labels(spark) -> None:
+    """Label-carrying fast path: endpoint checks without a node join."""
+    from pyspark.sql import types as T
+
+    fields = list(EDGES_SCHEMA.fields) + [
+        T.StructField("start_label", T.StringType()),
+        T.StructField("end_label", T.StringType()),
+    ]
+    edges = spark.createDataFrame(
+        [
+            ("1", "2", "REL", {}, "c1", "u1", "Person", "Location"),
+            ("1", "99", "REL", {}, "c1", "u1", "Person", None),  # dangling
+            ("3", "2", "REL", {}, "c1", "u1", "Person", "Location"),  # pruned start
+        ],
+        T.StructType(fields),
+    )
+    kept_nodes = person_location_nodes(spark)
+    pruned_nodes = nodes_df(spark, [("3", "Person", {"name": "gone"})]).withColumn(
+        "pruned_reason", F.lit("NOT_IN_SCHEMA")
+    )
+    kept, pruned = prune_edges(
+        edges,
+        kept_nodes,
+        rel_schema((("Person", "REL", "Location"),)),
+        pruned_nodes=pruned_nodes,
+    )
+    rows = kept.collect()
+    assert len(rows) == 1
+    assert (rows[0]["start_node_id"], rows[0]["end_node_id"]) == ("1", "2")
+    assert "start_label" not in kept.columns  # canonical schema restored
+    reasons = [r["pruned_reason"] for r in pruned.collect()]
+    assert reasons == ["INVALID_START_OR_END_NODE"] * 2
+
+
+def test_extractor_emits_null_label_for_unknown_endpoint(spark) -> None:
+    import json as _json
+
+    from neo4j_graphrag_python_spark.operators.extractor import (
+        extract_graph_rows,
+        split_graph_rows,
+    )
+    from neo4j_graphrag_python_spark.types import CHUNKS_SCHEMA
+
+    payload = _json.dumps(
+        {
+            "nodes": [{"id": "0", "label": "Person", "properties": {"name": "A"}}],
+            "relationships": [
+                {"type": "KNOWS", "start_node_id": "0", "end_node_id": "7"}
+            ],
+        }
+    )
+    chunks = spark.createDataFrame(
+        [("u0", "c1", 0, 0, 4, "text")], CHUNKS_SCHEMA
+    )
+    rows = extract_graph_rows(chunks, lambda texts: [payload] * len(texts))
+    _, edges = split_graph_rows(rows.cache())
+    rel = edges.where(F.col("type") == "KNOWS").collect()[0]
+    assert rel["start_label"] == "Person"
+    assert rel["end_label"] is None  # hallucinated endpoint id
