@@ -54,6 +54,46 @@ for _sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
 
 SF001_FIXTURE = str(tr.FIXTURE_ROOT / "sf0.01" / "transcripts.parquet")
 
+
+def _ensure_simhash_fixture() -> str:
+    """SimHash fingerprints of sf0.01 documents, materialized once so the
+    DuckDB oracle can check the banded near-dup join against an exact
+    all-pairs bit_count(xor) ≤ k — fingerprints come from the same
+    deterministic ``simhash64`` the Spark UDF uses."""
+    out = tr.FIXTURE_ROOT / "sf0.01" / "simhash.parquet"
+    if not out.exists():
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from neo4j_graphrag_python_spark.operators.dedup import simhash64
+
+        docs = pq.read_table(
+            "/root/testdata/sf0.01/documents.parquet", columns=["doc_id", "text"]
+        ).to_pandas()
+        out.parent.mkdir(parents=True, exist_ok=True)
+        pq.write_table(
+            pa.table(
+                {
+                    "id": docs["doc_id"].astype("int64"),
+                    "simhash": pd_series_int64([simhash64(t) for t in docs["text"]]),
+                }
+            ),
+            out,
+        )
+    return str(out)
+
+
+def pd_series_int64(vals):
+    import pandas as pd
+
+    return pd.Series(vals, dtype="int64")
+
+
+try:
+    SIMHASH_FIXTURE = _ensure_simhash_fixture()
+except Exception:  # pragma: no cover - testdata may be absent in CI
+    SIMHASH_FIXTURE = str(tr.FIXTURE_ROOT / "sf0.01" / "simhash.parquet")
+
 # chunking used by the oracle-checked queries (chunk-overlap-safe for the
 # planted sentences; see transcripts.py docstring)
 CHUNK_SIZE, CHUNK_OVERLAP = 600, 200
@@ -386,7 +426,10 @@ def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs over documents (rows-only)."""
+    """SimHash near-dup pairs over documents, hash-checked against an exact
+    all-pairs bit_count(xor) ≤ 8 DuckDB oracle: pigeonhole banding
+    (bands = max_hamming + 1) guarantees the banded join finds every pair
+    the exact join finds."""
     from neo4j_graphrag_python_spark.operators.dedup import (
         simhash_fingerprints,
         simhash_neardup_pairs,
@@ -394,6 +437,29 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     fps = simhash_fingerprints(_read(spark, sf_dir, "documents"))
     return simhash_neardup_pairs(fps, max_hamming=8)
+
+
+def q_dedup_jaccard_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact character-shingle Jaccard pairs ≥ 0.4 over documents — the
+    recall oracle that gates MinHash-LSH (tests assert LSH recall vs
+    this); intersection via shingle equi-join, not an all-pairs scan."""
+    from neo4j_graphrag_python_spark.operators.dedup import exact_jaccard_pairs
+
+    return exact_jaccard_pairs(
+        _read(spark, sf_dir, "documents"), shingle_k=5, threshold=0.4
+    )
+
+
+def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed (random-hyperplane LSH) embedding near-dup — the scale
+    path replacing the all-pairs theta join; exact-cosine rescored, recall
+    vs the all-pairs baseline asserted in tests (rows-only: banding has no
+    SQL equivalent)."""
+    from neo4j_graphrag_python_spark.operators.dedup import embedding_neardup_lsh
+
+    emb = _read(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").head()["embedding"])
+    return embedding_neardup_lsh(emb, dim=dim, threshold=0.4, target_recall=0.95)
 
 
 def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -439,6 +505,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bpe_tokens": q_doc_bpe_tokens,
         "dedup_minhash_pairs": q_dedup_minhash_pairs,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
+        "dedup_jaccard_exact": q_dedup_jaccard_exact,
+        "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "doc_fingerprints": q_doc_fingerprints,
         "ann_topk_ivf": q_ann_topk_ivf,
     }
@@ -611,8 +679,9 @@ WITH flagged AS (
 ),
 sess AS (
   SELECT user_id, ts,
-         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS session_id
   FROM flagged
 )
 SELECT user_id, session_id, count(*) AS n_events,
@@ -649,6 +718,38 @@ scored AS (
   FROM e, q WHERE e.vec_id <> 0
 )
 SELECT vec_id, score FROM scored ORDER BY score DESC, vec_id LIMIT 10
+""",
+        "dedup_simhash_pairs": f"""
+WITH f AS (SELECT id, simhash FROM read_parquet('{SIMHASH_FIXTURE}'))
+SELECT a.id AS id_a, b.id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM f a JOIN f b ON a.id < b.id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+""",
+        "dedup_jaccard_exact": r"""
+WITH d AS (
+  SELECT doc_id AS id, lower(coalesce(text, '')) AS t FROM documents
+),
+sh AS (
+  SELECT DISTINCT id, substr(t, CAST(i AS INT), 5) AS s
+  FROM (
+    SELECT id, t,
+           unnest(range(1, greatest(length(t) - 4, 1) + 1)) AS i
+    FROM d
+  )
+),
+sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(i / CAST(sa.n + sb.n - i AS DOUBLE), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.id = id_a
+JOIN sizes sb ON sb.id = id_b
+WHERE i / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.4
 """,
         "embedding_neardup_pairs": """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)

@@ -73,13 +73,17 @@ def minhash_signatures(
         F.sequence(F.lit(1), n_sh), lambda i: norm.substr(i, F.lit(shingle_k))
     )
     base = df.select(F.col(id_col).alias("id"), shingles.alias("sh"))
+
+    def hash_with(seed: int):
+        # must be a ONE-argument lambda: PySpark treats a second lambda
+        # parameter as the array index (transform(arr, (x, i) -> ...)),
+        # so the `lambda s, seed=seed:` capture idiom silently turns the
+        # seed into the element position — collapsing every signature
+        # slot to the same hash function
+        return lambda s: F.xxhash64(s, F.lit(seed))
+
     sig = F.array(
-        *[
-            F.array_min(
-                F.transform("sh", lambda s, seed=seed: F.xxhash64(s, F.lit(seed)))
-            )
-            for seed in range(num_hashes)
-        ]
+        *[F.array_min(F.transform("sh", hash_with(seed))) for seed in range(num_hashes)]
     )
     return base.select("id", sig.alias("sig"))
 
@@ -128,8 +132,8 @@ def minhash_dedup_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    num_hashes: int = 64,
-    bands: int = 16,
+    num_hashes: int = 96,
+    bands: int = 32,
     shingle_k: int = 5,
     jaccard_threshold: float = 0.7,
 ) -> DataFrame:
@@ -177,9 +181,86 @@ def score_pairs_jaccard(pairs: DataFrame, shingle_k: int = 5) -> DataFrame:
     return pairs.mapInPandas(score, schema=schema)
 
 
+def exact_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 5,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Exact character-shingle Jaccard for ALL pairs above ``threshold``
+    — the recall oracle for MinHash-LSH.
+
+    Not all-pairs: intersection sizes come from an equi-join on the
+    exploded distinct shingles (|A∩B| = count of shared shingles), unions
+    from per-doc shingle counts — so cost is Σ_s count(s)², bounded by
+    shingle popularity rather than n².  Still superlinear for very common
+    shingles; use for gating/sampling, MinHash-LSH for production dedup.
+    Everything is JVM built-ins (HOF shingling, explode, joins).
+    """
+    norm = F.lower(F.coalesce(F.col(text_col), F.lit("")))
+    n_sh = F.greatest(F.length(norm) - F.lit(shingle_k - 1), F.lit(1))
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n_sh), lambda i: norm.substr(i, F.lit(shingle_k))
+        )
+    )
+    sh = df.select(F.col(id_col).alias("id"), F.explode(shingles).alias("s"))
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
+    inter = (
+        sh.alias("a")
+        .join(
+            sh.alias("b"),
+            (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("i"))
+    )
+    j = (
+        inter.join(sizes.withColumnsRenamed({"id": "id_a", "n": "na"}), "id_a")
+        .join(sizes.withColumnsRenamed({"id": "id_b", "n": "nb"}), "id_b")
+    )
+    raw = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
+    return (
+        j.where(raw >= F.lit(threshold))
+        .select("id_a", "id_b", F.round(raw, 6).alias("jaccard"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
+
+
+def simhash64(text: str) -> int:
+    """Pure-python 64-bit SimHash (token-hash bit voting), deterministic
+    across processes — blake2b, not builtin hash() (PYTHONHASHSEED varies
+    between Spark workers).  Shared by the Spark UDF and offline oracle
+    fixture generation so both engines see identical fingerprints."""
+    import hashlib
+
+    import numpy as np
+
+    tokens = (text or "").lower().split()
+    if not tokens:
+        return 0
+    hashes = np.array(
+        [
+            int.from_bytes(
+                hashlib.blake2b(t.encode("utf-8"), digest_size=8).digest(),
+                "little",
+            )
+            for t in tokens
+        ],
+        dtype=np.uint64,
+    )
+    bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int64)
+    votes = (2 * bits - 1).sum(axis=0)
+    v = 0
+    for i in range(64):
+        if votes[i] > 0:
+            v |= 1 << i
+    return v - (1 << 64) if v >= 1 << 63 else v
 
 
 def simhash_fingerprints(
@@ -189,47 +270,54 @@ def simhash_fingerprints(
     per Arrow batch) → (id, simhash bigint)."""
 
     def fp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import hashlib
-
-        import numpy as np
-
-        def h64(token: str) -> int:
-            # deterministic across processes (builtin hash() depends on
-            # PYTHONHASHSEED, which differs between Spark workers)
-            return int.from_bytes(
-                hashlib.blake2b(token.encode("utf-8"), digest_size=8).digest(),
-                "little",
-            )
-
-        def simhash(text: str) -> int:
-            tokens = (text or "").lower().split()
-            if not tokens:
-                return 0
-            hashes = np.array([h64(t) for t in tokens], dtype=np.uint64)
-            bits = (
-                (hashes[:, None] >> np.arange(64, dtype=np.uint64)) & 1
-            ).astype(np.int64)
-            votes = (2 * bits - 1).sum(axis=0)
-            v = 0
-            for i in range(64):
-                if votes[i] > 0:
-                    v |= 1 << i
-            return v - (1 << 64) if v >= 1 << 63 else v
-
         for pdf in batches:
             yield pd.DataFrame(
                 {
                     "id": pdf[id_col],
-                    "simhash": [simhash(t) for t in pdf[text_col]],
+                    "simhash": [simhash64(t) for t in pdf[text_col]],
                 }
             )
 
     return df.mapInPandas(fp, schema="id long, simhash long")
 
 
-def simhash_neardup_pairs(fingerprints: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """Near-dup pairs with Hamming distance ≤ max_hamming, blocked on four
-    16-bit sub-bands (a pair within distance 3 must agree on ≥1 band)."""
+def simhash_neardup_pairs(
+    fingerprints: DataFrame, max_hamming: int = 3, bands: int | None = None
+) -> DataFrame:
+    """Near-dup pairs with Hamming distance ≤ max_hamming.
+
+    Blocking is exact-match on contiguous sub-bands of the 64-bit
+    fingerprint.  By pigeonhole, two fingerprints within Hamming distance
+    ``k`` must agree *exactly* on at least one of ``k + 1`` disjoint bands
+    (Manku, Jain & Das Sarma, WWW'07) — so the band count is derived from
+    the radius, ``bands = max_hamming + 1``, never fewer.  A caller may
+    pass more bands (finer blocks raise recall head-room at the cost of
+    more candidate rows) but never fewer than ``max_hamming + 1``: the
+    old fixed-4-band variant silently dropped pairs at distance ≥ 4 whose
+    differing bits spread across all bands.
+
+    Scale note: with ``b`` bands the per-band key is ``64 // b`` bits;
+    for large radii the key space shrinks (k=8 → 9 bands of ~7 bits →
+    128 buckets/band), so candidate volume grows ~n²/2^(64/b) per band.
+    For web-scale dedup keep max_hamming ≤ 4 (the published operating
+    point is k=3) or pre-partition by another key.
+    """
+    if bands is None:
+        bands = max_hamming + 1
+    if bands <= max_hamming:
+        raise ValueError(
+            f"bands={bands} cannot guarantee recall at max_hamming="
+            f"{max_hamming}; need bands >= max_hamming + 1"
+        )
+    bands = min(bands, 64)
+    # contiguous bit spans [start, start+width), widths as equal as possible
+    base_w, extra = divmod(64, bands)
+    spans = []
+    start = 0
+    for i in range(bands):
+        w = base_w + (1 if i < extra else 0)
+        spans.append((start, w))
+        start += w
     banded = fingerprints.select(
         "id",
         "simhash",
@@ -238,11 +326,15 @@ def simhash_neardup_pairs(fingerprints: DataFrame, max_hamming: int = 3) -> Data
                 *[
                     F.struct(
                         F.lit(i).alias("band"),
-                        F.shiftrightunsigned("simhash", 16 * i)
-                        .bitwiseAND(F.lit(0xFFFF))
-                        .alias("key"),
+                        (
+                            F.shiftrightunsigned("simhash", s)
+                            if w >= 64
+                            else F.shiftrightunsigned("simhash", s).bitwiseAND(
+                                F.lit((1 << w) - 1)
+                            )
+                        ).alias("key"),
                     )
-                    for i in range(4)
+                    for i, (s, w) in enumerate(spans)
                 ]
             )
         ).alias("bb"),
@@ -265,5 +357,139 @@ def simhash_neardup_pairs(fingerprints: DataFrame, max_hamming: int = 3) -> Data
     )
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return cand.select(
-        "id_a", "id_b", hamming.alias("hamming")
+        "id_a", "id_b", hamming.cast("int").alias("hamming")
     ).where(F.col("hamming") <= max_hamming)
+
+
+# ---------------------------------------------------------------------------
+# embedding near-dup (cosine)
+# ---------------------------------------------------------------------------
+
+
+def embedding_neardup_exact(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All-pairs cosine near-dup — the exact O(n²) baseline/oracle.
+
+    Correct at any n but quadratic; use :func:`embedding_neardup_lsh` at
+    scale and assert its recall against this on a sample.
+    """
+    from neo4j_graphrag_python_spark.operators.similarity import cosine_col
+
+    e = embeddings.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    a, b = e.alias("a"), e.alias("b")
+    pairs = a.join(b, F.col("a.id") < F.col("b.id")).select(
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+        cosine_col(F.col("a.v"), F.col("b.v")).alias("cosine"),
+    )
+    return pairs.where(F.col("cosine") >= threshold)
+
+
+def lsh_params_for(
+    threshold: float, target_recall: float = 0.95, max_tables: int = 64
+) -> tuple[int, int]:
+    """(planes_per_table, num_tables) for random-hyperplane LSH with
+    per-pair recall ≥ ``target_recall`` at cosine ≥ ``threshold``.
+
+    Per plane, sign agreement probability is p = 1 − arccos(s)/π
+    (Charikar '02); one m-plane table collides w.p. p^m, L independent
+    tables give recall 1 − (1 − p^m)^L.  m is chosen as large as possible
+    (more planes = better pruning of dissimilar pairs) subject to L ≤
+    max_tables for the requested recall.
+    """
+    import math
+
+    p = 1.0 - math.acos(max(-1.0, min(1.0, threshold))) / math.pi
+    best = (1, 1)
+    for m in range(1, 33):
+        pm = p**m
+        if pm >= 1.0:
+            best = (m, 1)
+            continue
+        L = math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - pm))
+        if L <= max_tables:
+            best = (m, L)
+        else:
+            break
+    return best
+
+
+def embedding_neardup_lsh(
+    embeddings: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    num_planes: int | None = None,
+    num_tables: int | None = None,
+    target_recall: float = 0.95,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Bucketed embedding near-dup: multi-table random-hyperplane LSH
+    blocking + exact cosine rescore — the 100 TB-shape replacement for
+    the all-pairs theta join.
+
+    Standard Indyk–Motwani amplification: L independent tables of m
+    hyperplane sign bits; a pair becomes a candidate when it lands in the
+    same bucket of ANY table, then every candidate is exact-cosine
+    rescored, so precision is exact and recall ≥ ``target_recall`` by the
+    collision model in :func:`lsh_params_for` (asserted against
+    :func:`embedding_neardup_exact` in tests).  (m, L) derive from the
+    threshold when not given — high thresholds (true near-dup, ≥0.9) get
+    long signatures and few tables (strong pruning); moderate thresholds
+    are inherently expensive for cosine LSH and get short signatures.
+
+    Plan shape: one projection computes all L bucket ids (JVM HOF dot
+    products over a broadcast-literal plane matrix), explode to
+    (table, bucket), equi-join on (table, bucket) — shuffle-partitionable
+    by bucket key, never an all-pairs join.
+    """
+    import random
+
+    from neo4j_graphrag_python_spark.operators.similarity import (
+        _hyperplane_signs,
+        cosine_col,
+    )
+
+    if num_planes is None or num_tables is None:
+        m, L = lsh_params_for(threshold, target_recall)
+        num_planes = num_planes or m
+        num_tables = num_tables or L
+
+    rng = random.Random(seed)
+    v = F.col(vec_col).cast("array<double>")
+    tables = []
+    for t in range(num_tables):
+        planes = [
+            [rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(num_planes)
+        ]
+        tables.append(
+            F.struct(
+                F.lit(t).alias("tbl"), _hyperplane_signs(v, planes).alias("bucket")
+            )
+        )
+    bucketed = embeddings.select(
+        F.col(id_col).alias("id"),
+        v.alias("v"),
+        F.explode(F.array(*tables)).alias("tb"),
+    ).select("id", "v", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+    a = bucketed.select(
+        F.col("id").alias("id_a"), F.col("v").alias("v_a"), "tbl", "bucket"
+    )
+    b = bucketed.select(
+        F.col("id").alias("id_b"), F.col("v").alias("v_b"), "tbl", "bucket"
+    )
+    cand = (
+        a.join(b, ["tbl", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return cand.select(
+        "id_a", "id_b", cosine_col(F.col("v_a"), F.col("v_b")).alias("cosine")
+    ).where(F.col("cosine") >= threshold)

@@ -191,6 +191,15 @@ def parse_extraction(raw: str) -> dict:
             or r.get("end_node_id") is None
         ):
             raise ExtractionError("relationship missing type/endpoints")
+    # last-wins dedupe of duplicate node ids within one chunk, matching
+    # the reference's dict collapse (entity_relation_extractor.py valid
+    # nodes keyed by id); duplicates would otherwise fan out edge rows
+    # through the id-keyed joins in pruning/resolution
+    by_id: dict = {}
+    for n in nodes:
+        by_id[n["id"]] = n
+    if len(by_id) != len(nodes):
+        nodes = list(by_id.values())
     return {"nodes": nodes, "relationships": rels}
 
 

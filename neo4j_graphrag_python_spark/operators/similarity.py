@@ -158,9 +158,13 @@ def hybrid_fusion(
     re-rank, top-k.  Inputs: (id, score) DataFrames."""
 
     def normalized(df: DataFrame, name: str) -> DataFrame:
-        mx = F.max("score").over(Window.partitionBy())
-        return df.select(
-            "id", (F.col("score") / mx).alias("score"), F.lit(name).alias("src")
+        # scalar max + broadcast crossJoin, NOT Window.partitionBy():
+        # an all-rows window collapses the frame to a single task at scale
+        mx = df.agg(F.max("score").alias("_mx"))
+        return df.crossJoin(F.broadcast(mx)).select(
+            "id",
+            (F.col("score") / F.col("_mx")).alias("score"),
+            F.lit(name).alias("src"),
         )
 
     u = normalized(vector_results, "vector").unionByName(

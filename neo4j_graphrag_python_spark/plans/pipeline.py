@@ -126,7 +126,13 @@ def run_kg_pipeline(
         cfg.lexical.next_chunk_relationship_type,
         cfg.lexical.chunk_to_document_relationship_type,
     )
-    edges = dedupe_edges(edges, skip_types=structural)
+    if not cfg.perform_entity_resolution:
+        # resolution's apply_merge_mapping ends in the same
+        # (start, type, end) min_by aggregation, and min-of-mins == global
+        # min — pre-deduping first would just shuffle the edge table twice
+        # on the same key (the hottest stage of the pipeline tail), so the
+        # standalone dedupe only runs when no resolution follows.
+        edges = dedupe_edges(edges, skip_types=structural)
 
     stats = None
     if cfg.perform_entity_resolution:

@@ -78,3 +78,153 @@ def test_simhash(docs) -> None:
     if (1, 3) in got:
         assert got[(1, 3)] <= 16
     assert (4, 5) not in got or got[(4, 5)] > got.get((1, 2), 0)
+
+
+# ---------------------------------------------------------------------------
+# recall gates: banding/blocking must find everything the exact join finds
+# ---------------------------------------------------------------------------
+
+
+def test_simhash_banding_matches_exact_hamming(spark) -> None:
+    """Pigeonhole banding (bands = k+1) must equal the exact all-pairs
+    bit_count(xor) ≤ k join — the bug class this guards: too few bands
+    silently dropping pairs whose differing bits spread across all bands."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    fps = simhash_fingerprints(docs).persist()
+    for k in (3, 8):
+        banded = {
+            (r["id_a"], r["id_b"], r["hamming"])
+            for r in simhash_neardup_pairs(fps, max_hamming=k).collect()
+        }
+        a, b = fps.alias("a"), fps.alias("b")
+        exact = {
+            (r["id_a"], r["id_b"], r["hamming"])
+            for r in a.join(b, F.col("a.id") < F.col("b.id"))
+            .select(
+                F.col("a.id").alias("id_a"),
+                F.col("b.id").alias("id_b"),
+                F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+                .cast("int")
+                .alias("hamming"),
+            )
+            .where(F.col("hamming") <= k)
+            .collect()
+        }
+        assert banded == exact, f"k={k}: banding != exact"
+    fps.unpersist()
+
+
+def test_simhash_rejects_insufficient_bands(docs) -> None:
+    fps = simhash_fingerprints(docs)
+    with pytest.raises(ValueError):
+        simhash_neardup_pairs(fps, max_hamming=8, bands=4)
+
+
+def test_minhash_recall_vs_exact_jaccard(spark) -> None:
+    """MinHash-LSH candidates must recover ≥ 0.9 of the exact shingle-
+    Jaccard pairs at the operating threshold (sf0.001 documents)."""
+    from neo4j_graphrag_python_spark.operators.dedup import (
+        exact_jaccard_pairs,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in exact_jaccard_pairs(docs, shingle_k=5, threshold=0.5).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_dedup_pairs(
+            docs, num_hashes=96, bands=32, jaccard_threshold=0.5
+        ).collect()
+    }
+    assert exact, "fixture should contain near-dup documents"
+    recall = len(exact & lsh) / len(exact)
+    assert recall >= 0.9, f"minhash recall {recall:.2f} < 0.9 ({len(exact)} exact)"
+    # precision is exact by construction (candidates are rescored with the
+    # true Jaccard), so LSH output must be a subset of the exact pairs
+    assert lsh <= exact
+
+
+def test_exact_jaccard_matches_pandas_scorer(docs) -> None:
+    """The join-shape exact Jaccard must agree with the per-pair pandas
+    scorer on every pair it emits."""
+    from neo4j_graphrag_python_spark.operators.dedup import (
+        exact_jaccard_pairs,
+        score_pairs_jaccard,
+    )
+
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in exact_jaccard_pairs(docs, threshold=0.0).collect()
+    }
+    texts = docs.withColumnsRenamed({"doc_id": "id_a", "text": "text_a"})
+    t2 = docs.withColumnsRenamed({"doc_id": "id_b", "text": "text_b"})
+    all_pairs = texts.crossJoin(t2).where(F.col("id_a") < F.col("id_b"))
+    want = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 6)
+        for r in score_pairs_jaccard(all_pairs).collect()
+    }
+    assert got == {k: v for k, v in want.items() if v > 0.0} or got == want
+
+
+def test_embedding_lsh_recall_vs_exact(spark) -> None:
+    from neo4j_graphrag_python_spark.operators.dedup import (
+        embedding_neardup_exact,
+        embedding_neardup_lsh,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    dim = len(emb.select("embedding").head()["embedding"])
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_neardup_exact(emb, threshold=0.4).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_neardup_lsh(
+            emb, dim=dim, threshold=0.4, target_recall=0.95
+        ).collect()
+    }
+    assert exact, "fixture should contain near-dup embeddings"
+    recall = len(exact & lsh) / len(exact)
+    assert recall >= 0.9, f"embedding LSH recall {recall:.2f} < 0.9"
+    assert lsh <= exact  # exact rescore ⇒ perfect precision
+
+
+def test_embedding_lsh_high_threshold_planted(spark) -> None:
+    """At the true near-dup operating point (cosine ≥ 0.95) the derived
+    (m, L) must find planted perturbed duplicates with few tables."""
+    import random
+
+    from neo4j_graphrag_python_spark.operators.dedup import (
+        embedding_neardup_exact,
+        embedding_neardup_lsh,
+        lsh_params_for,
+    )
+
+    rng = random.Random(7)
+    dim = 32
+    rows = []
+    for i in range(100):
+        v = [rng.gauss(0, 1) for _ in range(dim)]
+        rows.append((i, v))
+        if i < 20:  # plant a near-dup: tiny perturbation
+            rows.append((1000 + i, [x + rng.gauss(0, 0.02) for x in v]))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_neardup_exact(emb, threshold=0.95).collect()
+    }
+    assert len(exact) >= 20
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_neardup_lsh(
+            emb, dim=dim, threshold=0.95, target_recall=0.95
+        ).collect()
+    }
+    recall = len(exact & lsh) / len(exact)
+    assert recall >= 0.9, f"planted near-dup recall {recall:.2f} < 0.9"
+    assert lsh <= exact
+    m, L = lsh_params_for(0.95)
+    assert m >= 16  # long signatures → strong pruning at high thresholds
