@@ -219,6 +219,55 @@ def q_kg_entity_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_fuzzy_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2–A4 under the driver gate: second-pass similarity resolution
+    (MinHash-LSH blocking → fuzzy WRatio scoring → connected components →
+    merge) applied after exact resolution; returns surviving entities.
+    Rows-only: fuzzy-match scoring has no SQL equivalent, but the row
+    count pins blocking+scoring+merge end-to-end."""
+    from neo4j_graphrag_python_spark.plans.pipeline import (
+        run_similarity_resolution,
+    )
+
+    kg = _kg(spark, sf_dir)
+    resolved = run_similarity_resolution(
+        kg, method="fuzzy", similarity_threshold=0.9
+    )
+    return (
+        resolved.nodes.where(F.col("is_entity"))
+        .select("label", F.col("properties").getItem("name").alias("name"))
+        .distinct()
+    )
+
+
+def q_text2sql_entity_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 — Text2Cypher analog under the driver gate: a deterministic
+    template-LLM answers the NL question with fenced Spark SQL over the
+    registered graph views; the retriever fence-strips (P10 extract_sql)
+    and executes it.  Oracle: the same aggregation in DuckDB — proving
+    the NL→query→execute path end-to-end, with the LLM slot mocked
+    exactly like the reference's unit tests mock LLMInterface."""
+    from neo4j_graphrag_python_spark.text2sql import Text2SqlRetriever
+
+    kg = _kg(spark, sf_dir)
+
+    def template_llm(prompt: str) -> str:
+        assert "Schema:" in prompt  # default prompt composed
+        return (
+            "```sql\n"
+            "SELECT label, count(*) AS n_entities\n"
+            "FROM (SELECT DISTINCT label, properties['name'] AS name\n"
+            "      FROM graph_nodes WHERE is_entity)\n"
+            "GROUP BY label\n"
+            "```"
+        )
+
+    retriever = Text2SqlRetriever(
+        spark, template_llm, nodes=kg.nodes, edges=kg.edges
+    )
+    return retriever.search("How many entities of each type are there?").records
+
+
 # ---------------------------------------------------------------------------
 # training-data / relational queries (driver testdata tables)
 # ---------------------------------------------------------------------------
@@ -492,6 +541,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triples": q_kg_triples,
         "kg_entities": q_kg_entities,
         "kg_entity_counts": q_kg_entity_counts,
+        "text2sql_entity_counts": q_text2sql_entity_counts,
+        "kg_fuzzy_entities": q_kg_fuzzy_entities,
         "dedup_exact_docs": q_dedup_exact_docs,
         "doc_token_stats": q_doc_token_stats,
         "events_sessionize": q_events_sessionize,
@@ -649,6 +700,12 @@ mentions AS ({_entity_union_sql()})
 SELECT DISTINCT label, name FROM mentions
 """,
         "kg_entity_counts": f"""
+WITH t AS (SELECT coalesce(text, '') AS text FROM {_T}),
+mentions AS ({_entity_union_sql()})
+SELECT label, count(*) AS n_entities
+FROM (SELECT DISTINCT label, name FROM mentions) GROUP BY label
+""",
+        "text2sql_entity_counts": f"""
 WITH t AS (SELECT coalesce(text, '') AS text FROM {_T}),
 mentions AS ({_entity_union_sql()})
 SELECT label, count(*) AS n_entities

@@ -126,6 +126,76 @@ def real_decoder_stub(payload: bytes) -> list[float]:
     raise NotImplementedError("media codecs not available in this environment")
 
 
+# ---------------------------------------------------------------------------
+# PDF text extraction (S1 — reference pdf_loader.py:53-93)
+# ---------------------------------------------------------------------------
+
+
+class PdfLoaderError(RuntimeError):
+    """Reference PdfLoaderError analog (exceptions surfaced per row or,
+    with on_error='RAISE', failing the job)."""
+
+
+def default_pdf_text_fn(payload: bytes) -> str:
+    """Reference PdfLoader.load_file semantics (pdf_loader.py:55-72):
+    pypdf page loop, pages joined with '\\n'.  pypdf is gated behind an
+    import-try — this container does not ship it, so tests exercise the
+    plumbing with a fake extractor and this slot raises PdfLoaderError
+    exactly like the reference wraps any parse failure."""
+    try:
+        import io
+
+        import pypdf
+    except ImportError as e:  # pragma: no cover - pypdf absent here
+        raise PdfLoaderError("pypdf is not installed") from e
+    try:
+        pdf = pypdf.PdfReader(io.BytesIO(payload))
+        return "\n".join(page.extract_text() for page in pdf.pages)
+    except Exception as e:  # pragma: no cover
+        raise PdfLoaderError(e) from e
+
+
+def extract_pdf_text(
+    media: DataFrame,
+    text_fn: Callable[[bytes], str] | None = None,
+    on_error: str = "IGNORE",
+) -> DataFrame:
+    """Binary PDF payloads → (conv_id, text, n_turns=1, status) documents,
+    ready for split_fixed_size (the reference feeds PdfLoader output into
+    the splitter the same way).
+
+    Arrow-batched mapInPandas; per-row failure capture mirrors
+    extract_features — at 10^9 documents some PDFs are always corrupt, and
+    one bad file must not kill the stage unless on_error='RAISE'
+    (reference raises PdfLoaderError unconditionally; IGNORE is the
+    distributed default for the same reason OnError exists on the
+    extractor)."""
+    fn = text_fn or default_pdf_text_fn
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"conv_id": [], "text": [], "n_turns": [], "status": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                out["conv_id"].append(mid)
+                out["n_turns"].append(1)
+                try:
+                    out["text"].append(fn(bytes(payload)))
+                    out["status"].append("ok")
+                except Exception as e:  # noqa: BLE001
+                    if on_error == "RAISE":
+                        raise PdfLoaderError(str(e)) from e
+                    out["text"].append(None)
+                    out["status"].append(f"error:{type(e).__name__}")
+            yield pd.DataFrame(
+                {c: pd.Series(v, dtype="object") for c, v in out.items()},
+                columns=["conv_id", "text", "n_turns", "status"],
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, schema="conv_id string, text string, n_turns int, status string"
+    )
+
+
 def frame_sample_plan(
     media: DataFrame, every_n_seconds: float = 1.0
 ) -> DataFrame:

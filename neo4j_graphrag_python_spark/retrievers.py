@@ -80,6 +80,57 @@ def fulltext_search(
     )
 
 
+def build_fulltext_index(
+    nodes: DataFrame, text_property: str = "name"
+) -> DataFrame:
+    """Inverted postings table (term, id, tf) — the Spark analog of
+    create_fulltext_index (reference indexes.py:126): tokenize the property
+    (lowercase, whitespace analysis), explode to one row per (doc, term),
+    aggregate term frequency.
+
+    At scale, persist with ``.write.bucketBy(n, "term")`` (or
+    partitionBy a term prefix) so searches join co-located buckets and
+    scan only matching terms — the scan-based :func:`fulltext_search`
+    reads every node row per query, which is the wrong shape past
+    small data.
+    """
+    prop = F.lower(
+        F.coalesce(F.col("properties").getItem(text_property), F.lit(""))
+    )
+    return (
+        nodes.select(
+            "id", F.explode(F.split(F.trim(prop), r"\s+")).alias("term")
+        )
+        .where(F.col("term") != "")
+        .groupBy("term", "id")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
+def fulltext_search_indexed(
+    index: DataFrame, query_text: str, top_k: int = 5
+) -> DataFrame:
+    """Token-match search against a :func:`build_fulltext_index` table:
+    score = #distinct query terms present (the same counting rule as the
+    scan path for whole-token matches).  → (id, score).
+
+    Plan shape: broadcast the (tiny) query-term set, equi-join on term —
+    with a bucketed index this touches only the matching term buckets,
+    never the corpus."""
+    terms = sorted({t for t in query_text.lower().split() if t})
+    if not terms:
+        raise ValueError("empty query")
+    spark = index.sparkSession
+    q = spark.createDataFrame([(t,) for t in terms], ["term"])
+    return (
+        index.join(F.broadcast(q), "term")
+        .groupBy("id")
+        .agg(F.count_distinct("term").cast("double").alias("score"))
+        .orderBy(F.desc("score"), "id")
+        .limit(top_k)
+    )
+
+
 def expand_neighborhood(
     edges: DataFrame,
     start_ids: DataFrame,
@@ -134,9 +185,16 @@ def hybrid_search(
     top_k: int = 5,
     alpha: float | None = None,
     text_property: str = "name",
+    fulltext_index: DataFrame | None = None,
 ) -> DataFrame:
     """Vector ∪ fulltext with max-normalized fusion (reference
-    HybridRetriever semantics; alpha=None → naive max fusion)."""
+    HybridRetriever semantics; alpha=None → naive max fusion).
+
+    Pass a prebuilt ``fulltext_index`` (build_fulltext_index) to use the
+    join-based inverted-index path instead of the full scan."""
     v = vector_search(nodes, query_text=query_text, top_k=top_k * 4)
-    ft = fulltext_search(nodes, query_text, text_property, top_k=top_k * 4)
+    if fulltext_index is not None:
+        ft = fulltext_search_indexed(fulltext_index, query_text, top_k=top_k * 4)
+    else:
+        ft = fulltext_search(nodes, query_text, text_property, top_k=top_k * 4)
     return hybrid_fusion(v, ft, alpha=alpha, k=top_k)

@@ -1,0 +1,258 @@
+"""Text2SQL retrieval — the Spark-native analog of Text2CypherRetriever.
+
+Reference: retrievers/text2cypher.py:93-231 — NL question + graph schema
+→ LLM-generated query → execute → records, with the generated query
+returned in metadata and syntax errors surfaced as a retrieval error; and
+extract_cypher (:48-91, P10) stripping code fences from model output.
+
+Spark-first mapping: the "database" is the pair of node/edge DataFrames
+registered as temp views; the query language is Spark SQL (executed by
+``spark.sql`` → Catalyst, so the generated query gets the same pushdown /
+join planning as hand-written pipelines); ``CypherSyntaxError`` becomes
+``pyspark.errors.ParseException``.  The LLM is a pluggable
+``Callable[[str], str]`` slot like every other model seam in this repo —
+tests use a deterministic template model.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+from typing import Any, Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from neo4j_graphrag_python_spark.functions.prompts import PromptTemplate
+
+LlmFn = Callable[[str], str]
+
+NODES_VIEW = "graph_nodes"
+EDGES_VIEW = "graph_edges"
+
+
+class SchemaFetchError(RuntimeError):
+    """Analog of the reference SchemaFetchError (text2cypher.py:161-165):
+    raised when no schema text was supplied and introspection fails."""
+
+
+class Text2SqlRetrievalError(RuntimeError):
+    """Analog of Text2CypherRetrievalError (text2cypher.py:222-225):
+    the LLM produced a query Spark cannot parse."""
+
+
+# ---------------------------------------------------------------------------
+# P10 — extract_sql (reference extract_cypher, text2cypher.py:48-91)
+# ---------------------------------------------------------------------------
+
+_FENCE = re.compile(r"```(.*?)```", re.DOTALL)
+_LANG_TAG = re.compile(r"^\s*(sql|spark\s*sql|cypher)\b[ \t]*\n", re.IGNORECASE)
+
+
+def extract_sql(text: str) -> str:
+    """Extract the query from model output.
+
+    Mirrors extract_cypher's fence handling (text2cypher.py:66-68): the
+    first triple-backtick block wins, else the whole text; additionally a
+    leading language tag (```sql\\n...) is stripped — the common fenced
+    form for SQL.  The reference's multi-word-identifier backtick repair
+    targets Cypher label/rel-type positions that have no Spark SQL
+    equivalent; Spark SQL identifiers needing quoting must already be
+    backticked by the model (the prompt says so).
+    """
+    matches = _FENCE.findall(text or "")
+    query = matches[0] if matches else (text or "")
+    query = _LANG_TAG.sub("", query)
+    return query.strip()
+
+
+# ---------------------------------------------------------------------------
+# schema rendering (reference get_schema text format, schema.py:183-231)
+# ---------------------------------------------------------------------------
+
+
+def render_graph_schema(
+    nodes: DataFrame, edges: DataFrame, max_properties: int = 20
+) -> str:
+    """Serialize the observed graph shape in the reference's get_schema
+    text format (Node properties / The relationships), plus the Spark view
+    contract the generated SQL must target."""
+    from neo4j_graphrag_python_spark.operators.schema_inference import (
+        describe_graph,
+    )
+
+    desc = describe_graph(nodes, edges)
+    prop_rows = (
+        desc["node_properties"]
+        .orderBy("label", "property")
+        .limit(1000)
+        .collect()
+    )
+    props_by_label: dict[str, list[str]] = {}
+    for r in prop_rows:
+        props_by_label.setdefault(r["label"], [])
+        if len(props_by_label[r["label"]]) < max_properties:
+            props_by_label[r["label"]].append(f"{r['property']}: STRING")
+    node_lines = [
+        f"{label} {{{', '.join(ps)}}}" for label, ps in sorted(props_by_label.items())
+    ]
+    pattern_rows = (
+        desc["patterns"].orderBy("start_label", "type", "end_label").collect()
+    )
+    rel_lines = [
+        f"(:{r['start_label']})-[:{r['type']}]->(:{r['end_label']})"
+        for r in pattern_rows
+    ]
+    return (
+        "Node properties:\n"
+        + "\n".join(node_lines)
+        + "\nThe relationships:\n"
+        + "\n".join(rel_lines)
+        + "\n\nSQL views:\n"
+        + f"{NODES_VIEW}(id STRING, label STRING, properties MAP<STRING,STRING>,"
+        " is_entity BOOLEAN)\n"
+        + f"{EDGES_VIEW}(start_node_id STRING, end_node_id STRING, type STRING,"
+        " properties MAP<STRING,STRING>)\n"
+        "Access node properties with properties['name'].  Quote multi-word"
+        " identifiers with backticks."
+    )
+
+
+def register_graph_views(
+    spark: SparkSession, nodes: DataFrame, edges: DataFrame
+) -> tuple[str, str]:
+    """Expose the graph as the two SQL views the generated queries target."""
+    nodes.createOrReplaceTempView(NODES_VIEW)
+    edges.createOrReplaceTempView(EDGES_VIEW)
+    return NODES_VIEW, EDGES_VIEW
+
+
+# ---------------------------------------------------------------------------
+# prompt (reference Text2CypherTemplate, generation/prompts.py:114-160)
+# ---------------------------------------------------------------------------
+
+
+class Text2SqlTemplate(PromptTemplate):
+    DEFAULT_TEMPLATE = """
+Task: Generate a Spark SQL statement for querying a property graph exposed
+as two views from a user input.
+
+Schema:
+{schema}
+
+Examples (optional):
+{examples}
+
+Input:
+{query_text}
+
+Do not use any tables, properties or relationship types not included in the
+schema.
+Do not include triple backticks ``` or any additional text except the
+generated SQL statement in your response.
+
+SQL query:
+"""
+    EXPECTED_INPUTS = ["query_text"]
+
+    def format(
+        self,
+        schema: str | None = None,
+        examples: str | None = None,
+        query_text: str = "",
+        **kwargs: Any,
+    ) -> str:
+        return super().format(
+            schema=schema or "",
+            examples=examples or "",
+            # empty query_text fails required-input validation, like the
+            # base PromptTemplate contract (prompts.py:26-92)
+            query_text=query_text or None,
+            **kwargs,
+        )
+
+
+# ---------------------------------------------------------------------------
+# the retriever
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class Text2SqlResult:
+    records: DataFrame
+    sql: str
+    prompt: str
+
+    @property
+    def metadata(self) -> dict:
+        # reference returns the generated query in metadata["cypher"]
+        # (text2cypher.py:227-231)
+        return {"sql": self.sql}
+
+
+class Text2SqlRetriever:
+    """NL → Spark SQL → DataFrame over the registered graph views.
+
+    Mirrors Text2CypherRetriever's contract (text2cypher.py:93-231):
+      * schema supplied, or fetched by introspection at init (get_schema →
+        render_graph_schema), SchemaFetchError on failure;
+      * optional examples list joined by newlines into the prompt;
+      * optional custom_prompt replacing the default template;
+      * search-time prompt_params may override schema/examples;
+      * the generated query is fence-stripped (extract_sql) and executed;
+        ParseException surfaces as Text2SqlRetrievalError with the Spark
+        message, like CypherSyntaxError → Text2CypherRetrievalError.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        llm_fn: LlmFn,
+        nodes: DataFrame | None = None,
+        edges: DataFrame | None = None,
+        schema_text: str | None = None,
+        examples: list[str] | None = None,
+        custom_prompt: str | None = None,
+    ) -> None:
+        self.spark = spark
+        self.llm_fn = llm_fn
+        self.examples = examples or []
+        self.custom_prompt = custom_prompt
+        if nodes is not None and edges is not None:
+            register_graph_views(spark, nodes, edges)
+            if schema_text is None and custom_prompt is None:
+                try:
+                    schema_text = render_graph_schema(nodes, edges)
+                except Exception as e:  # noqa: BLE001 - mirror SchemaFetchError
+                    raise SchemaFetchError(
+                        f"Failed to fetch schema for Text2SqlRetriever: {e}"
+                    ) from e
+        self.schema_text = schema_text or ""
+
+    def get_search_results(
+        self, query_text: str, prompt_params: dict[str, Any] | None = None
+    ) -> Text2SqlResult:
+        if not isinstance(query_text, str) or not query_text:
+            raise ValueError("query_text must be a non-empty string")
+        template = Text2SqlTemplate(template=self.custom_prompt)
+        params = dict(prompt_params or {})
+        examples = params.pop("examples", None) or "\n".join(self.examples)
+        schema = params.pop("schema", None) or self.schema_text
+        prompt = template.format(
+            schema=schema, examples=examples, query_text=query_text, **params
+        )
+        raw = self.llm_fn(prompt)
+        sql = extract_sql(raw)
+        try:
+            records = self.spark.sql(sql)
+        except Exception as e:
+            from pyspark.errors import ParseException
+
+            if isinstance(e, ParseException):
+                raise Text2SqlRetrievalError(
+                    f"Failed to get search result: {e}"
+                ) from e
+            raise
+        return Text2SqlResult(records=records, sql=sql, prompt=prompt)
+
+    def search(self, query_text: str, **kwargs: Any) -> Text2SqlResult:
+        return self.get_search_results(query_text, **kwargs)

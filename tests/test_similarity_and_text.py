@@ -108,6 +108,33 @@ def test_fulltext_and_hybrid(entity_nodes) -> None:
     assert hy.collect()[0]["id"] == "n0"
 
 
+def test_fulltext_indexed_matches_scan(entity_nodes) -> None:
+    """Inverted-index search = scan search for whole-token queries, and
+    the plan is a broadcast join on term, not a corpus scan."""
+    from neo4j_graphrag_python_spark.retrievers import (
+        build_fulltext_index,
+        fulltext_search_indexed,
+    )
+
+    index = build_fulltext_index(entity_nodes)
+    rows = {(r["term"], r["id"]): r["tf"] for r in index.collect()}
+    assert rows[("alice", "n0")] == 1 and rows[("alice", "n2")] == 1
+    for q in ("alice smith", "acme", "bob alice"):
+        scan = [(r["id"], r["score"]) for r in
+                fulltext_search(entity_nodes, q, top_k=4).collect()]
+        idx = [(r["id"], r["score"]) for r in
+               fulltext_search_indexed(index, q, top_k=4).collect()]
+        assert idx == scan, q
+    plan = fulltext_search_indexed(index, "alice")._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # hybrid path accepts the prebuilt index
+    hy = hybrid_search(entity_nodes, "Alice", top_k=2, fulltext_index=index)
+    assert hy.collect()[0]["id"] == "n0"
+    with pytest.raises(ValueError):
+        fulltext_search_indexed(index, "   ")
+
+
 @pytest.fixture(scope="module")
 def textdocs(spark):
     return spark.createDataFrame(

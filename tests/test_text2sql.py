@@ -1,0 +1,188 @@
+"""Text2SQL retriever — the Text2Cypher analog (Q4 + P10).
+
+Mirrors the reference test matrix (tests/unit/retrievers/test_text2cypher.py):
+fence extraction, prompt composition with schema/examples, custom prompt,
+prompt_params overrides, happy path, and syntax-error surfacing.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from neo4j_graphrag_python_spark.text2sql import (
+    EDGES_VIEW,
+    NODES_VIEW,
+    Text2SqlRetrievalError,
+    Text2SqlRetriever,
+    Text2SqlTemplate,
+    extract_sql,
+    render_graph_schema,
+)
+
+
+@pytest.fixture(scope="module")
+def graph(spark):
+    nodes = spark.createDataFrame(
+        [
+            ("p1", "Person", {"name": "Alice"}, True),
+            ("p2", "Person", {"name": "Bob"}, True),
+            ("c1", "Company", {"name": "Globex"}, True),
+        ],
+        "id string, label string, properties map<string,string>, is_entity boolean",
+    )
+    edges = spark.createDataFrame(
+        [
+            ("p1", "c1", "WORKS_FOR", {}),
+            ("p2", "c1", "WORKS_FOR", {}),
+            ("p1", "p2", "KNOWS", {}),
+        ],
+        "start_node_id string, end_node_id string, type string,"
+        " properties map<string,string>",
+    )
+    return nodes, edges
+
+
+@pytest.mark.parametrize(
+    "raw,expected",
+    [
+        ("SELECT 1", "SELECT 1"),
+        ("```SELECT 1```", "SELECT 1"),
+        ("SQL query: ```SELECT a FROM t;```", "SELECT a FROM t;"),
+        ("```sql\nSELECT a FROM t\n```", "SELECT a FROM t"),
+        ("```SQL\nSELECT a FROM t\n```", "SELECT a FROM t"),
+        # first fenced block wins (reference matches[0])
+        ("```SELECT 1``` and ```SELECT 2```", "SELECT 1"),
+        ("  SELECT `multi word` FROM t  ", "SELECT `multi word` FROM t"),
+    ],
+)
+def test_extract_sql(raw: str, expected: str) -> None:
+    assert extract_sql(raw) == expected
+
+
+def test_template_includes_schema_examples_and_query() -> None:
+    t = Text2SqlTemplate()
+    p = t.format(schema="THE_SCHEMA", examples="THE_EXAMPLES", query_text="q?")
+    assert "THE_SCHEMA" in p and "THE_EXAMPLES" in p and "q?" in p
+    with pytest.raises(Exception):
+        t.format(schema="s")  # query_text is required
+
+
+def test_render_graph_schema(graph) -> None:
+    nodes, edges = graph
+    s = render_graph_schema(nodes, edges)
+    assert "Person {name: STRING}" in s
+    assert "(:Person)-[:WORKS_FOR]->(:Company)" in s
+    assert NODES_VIEW in s and EDGES_VIEW in s
+
+
+def test_happy_path(spark, graph) -> None:
+    nodes, edges = graph
+    seen_prompts: list[str] = []
+
+    def llm(prompt: str) -> str:
+        seen_prompts.append(prompt)
+        return (
+            "```sql\nSELECT properties['name'] AS name FROM graph_nodes "
+            "WHERE label = 'Person' ORDER BY name\n```"
+        )
+
+    r = Text2SqlRetriever(spark, llm, nodes=nodes, edges=edges)
+    res = r.search("who are the people?")
+    assert [x["name"] for x in res.records.collect()] == ["Alice", "Bob"]
+    assert res.metadata["sql"].startswith("SELECT")
+    # the auto-fetched schema is in the prompt (reference get_schema path)
+    assert "(:Person)-[:KNOWS]->(:Person)" in seen_prompts[0]
+    assert "who are the people?" in seen_prompts[0]
+
+
+def test_join_query_over_edges(spark, graph) -> None:
+    nodes, edges = graph
+
+    def llm(prompt: str) -> str:
+        return """
+SELECT n.properties['name'] AS employee
+FROM graph_edges e
+JOIN graph_nodes n ON e.start_node_id = n.id
+WHERE e.type = 'WORKS_FOR'
+ORDER BY employee
+"""
+
+    r = Text2SqlRetriever(spark, llm, nodes=nodes, edges=edges)
+    res = r.search("who works for Globex?")
+    assert [x["employee"] for x in res.records.collect()] == ["Alice", "Bob"]
+
+
+def test_syntax_error_surfaces(spark, graph) -> None:
+    nodes, edges = graph
+    r = Text2SqlRetriever(
+        spark, lambda p: "SELEC broken FROM", nodes=nodes, edges=edges
+    )
+    with pytest.raises(Text2SqlRetrievalError, match="Failed to get search result"):
+        r.search("anything")
+
+
+def test_examples_and_schema_override(spark, graph) -> None:
+    nodes, edges = graph
+    prompts: list[str] = []
+
+    def llm(prompt: str) -> str:
+        prompts.append(prompt)
+        return "SELECT 1 AS one"
+
+    r = Text2SqlRetriever(
+        spark,
+        llm,
+        nodes=nodes,
+        edges=edges,
+        schema_text="INIT_SCHEMA",
+        examples=["USER INPUT: x QUERY: SELECT x"],
+    )
+    r.search("q1")
+    assert "INIT_SCHEMA" in prompts[0]
+    assert "USER INPUT: x QUERY: SELECT x" in prompts[0]
+    # search-time prompt_params override both (reference :190-204)
+    r.search("q2", prompt_params={"schema": "OVERRIDE_SCHEMA", "examples": "EX2"})
+    assert "OVERRIDE_SCHEMA" in prompts[1] and "INIT_SCHEMA" not in prompts[1]
+    assert "EX2" in prompts[1]
+
+
+def test_custom_prompt(spark, graph) -> None:
+    nodes, edges = graph
+    prompts: list[str] = []
+
+    def llm(prompt: str) -> str:
+        prompts.append(prompt)
+        return "SELECT 1 AS one"
+
+    r = Text2SqlRetriever(
+        spark,
+        llm,
+        nodes=nodes,
+        edges=edges,
+        custom_prompt="This is a custom prompt. {query_text}",
+    )
+    res = r.search("hello")
+    assert prompts[0] == "This is a custom prompt. hello"
+    assert res.records.collect()[0]["one"] == 1
+
+
+def test_invalid_query_text(spark, graph) -> None:
+    nodes, edges = graph
+    r = Text2SqlRetriever(spark, lambda p: "SELECT 1", nodes=nodes, edges=edges)
+    with pytest.raises(ValueError):
+        r.search("")
+
+
+def test_generated_sql_is_catalyst_planned(spark, graph) -> None:
+    """The executed query is a real DataFrame: lazily planned, filter
+    pushdown visible in the plan — not a collected result."""
+    nodes, edges = graph
+
+    def llm(prompt: str) -> str:
+        return "SELECT id FROM graph_nodes WHERE label = 'Person'"
+
+    r = Text2SqlRetriever(spark, llm, nodes=nodes, edges=edges)
+    res = r.search("people ids")
+    plan = res.records._jdf.queryExecution().optimizedPlan().toString()
+    assert "Filter" in plan or "label" in plan

@@ -125,3 +125,72 @@ def test_frame_sample_plan(spark) -> None:
     )
     frames = frame_sample_plan(media, every_n_seconds=1.0).collect()
     assert [r["frame_ts"] for r in frames] == [0.0, 1.0, 2.0]
+
+
+def test_pdf_text_extraction_with_fake_codec(spark) -> None:
+    """S1 plumbing: payload → page texts → splitter-ready documents.
+    The pypdf slot is faked (not installed here); reference semantics =
+    pages joined with newline (pdf_loader.py:66-68)."""
+    from neo4j_graphrag_python_spark.operators.multimodal import (
+        PdfLoaderError,
+        extract_pdf_text,
+    )
+    from neo4j_graphrag_python_spark.operators.splitter import split_fixed_size
+    from neo4j_graphrag_python_spark.types import SplitterConfig
+
+    def fake_pdf(payload: bytes) -> str:
+        if not payload.startswith(b"%PDF"):
+            raise PdfLoaderError("not a pdf")
+        return "\n".join(payload[5:].decode("utf-8").split("\x0c"))
+
+    media = spark.createDataFrame(
+        [
+            ("doc1.pdf", "pdf", b"%PDF-page one text\x0cpage two text", {}),
+            ("bad.pdf", "pdf", b"GARBAGE", {}),
+        ],
+        "media_id string, kind string, payload binary, meta map<string,string>",
+    )
+    docs = extract_pdf_text(media, text_fn=fake_pdf)
+    rows = {r["conv_id"]: r for r in docs.collect()}
+    assert rows["doc1.pdf"]["text"] == "page one text\npage two text"
+    assert rows["doc1.pdf"]["status"] == "ok"
+    assert rows["bad.pdf"]["text"] is None
+    assert rows["bad.pdf"]["status"] == "error:PdfLoaderError"
+    # splitter consumes the extracted documents unchanged
+    ok = docs.where(docs.status == "ok").select("conv_id", "text", "n_turns")
+    chunks = split_fixed_size(ok, SplitterConfig(10, 2, approximate=False))
+    assert chunks.count() > 1
+
+
+def test_pdf_text_extraction_raise_mode(spark) -> None:
+    from py4j.protocol import Py4JJavaError
+    from neo4j_graphrag_python_spark.operators.multimodal import extract_pdf_text
+
+    media = spark.createDataFrame(
+        [("bad.pdf", "pdf", b"GARBAGE", {})],
+        "media_id string, kind string, payload binary, meta map<string,string>",
+    )
+
+    def always_fail(payload: bytes) -> str:
+        raise ValueError("boom")
+
+    import pytest as _pytest
+
+    with _pytest.raises(Exception) as exc:
+        extract_pdf_text(media, text_fn=always_fail, on_error="RAISE").collect()
+    assert "PdfLoaderError" in str(exc.value) or "boom" in str(exc.value)
+
+
+def test_default_pdf_slot_requires_pypdf() -> None:
+    import importlib.util
+
+    from neo4j_graphrag_python_spark.operators.multimodal import (
+        PdfLoaderError,
+        default_pdf_text_fn,
+    )
+
+    if importlib.util.find_spec("pypdf") is None:
+        import pytest as _pytest
+
+        with _pytest.raises(PdfLoaderError, match="pypdf"):
+            default_pdf_text_fn(b"%PDF-1.4")
