@@ -49,7 +49,6 @@ from neo4j_graphrag_python_spark.operators.resolver import resolve_exact  # noqa
 from neo4j_graphrag_python_spark.operators.splitter import (  # noqa: E402
     split_fixed_size,
 )
-from neo4j_graphrag_python_spark.operators.writer import dedupe_edges  # noqa: E402
 from neo4j_graphrag_python_spark.plans.pipeline import triples_view  # noqa: E402
 from neo4j_graphrag_python_spark.schema import demo_schema  # noqa: E402
 from neo4j_graphrag_python_spark.session import build_spark  # noqa: E402
@@ -103,19 +102,17 @@ def main() -> None:
         timed("kg_split", lambda: chunks.count())
         entity_nodes, entity_edges = split_graph_rows(graph_rows)
         lex_nodes, lex_edges = build_lexical_graph(documents, chunks)
-        # Persist + EAGERLY materialize stage boundaries: each frame below
-        # feeds 2+ consumers (pruning joins, dedupe, resolution, triples
-        # view), and AQE submits those consumer exchanges concurrently — a
-        # lazy cache would be computed redundantly by each of them.
-        nodes = lex_nodes.unionByName(entity_nodes).persist()
-        edges = lex_edges.unionByName(entity_edges).persist()
-        nodes.count(), edges.count()
+        # graph_rows and chunks (the expensive Python stages) are cached;
+        # everything below re-reads cheap cache scans, so no further
+        # persists — an extra materialized copy of the unions costs more
+        # than it saves (measured ~1.5-3s of the sf0.1 tail)
+        nodes = lex_nodes.unionByName(entity_nodes)
+        edges = lex_edges.unionByName(entity_edges, allowMissingColumns=True)
         nodes, edges, _, _ = prune_graph(nodes, edges, demo_schema())
-        nodes = nodes.persist()
-        nodes.count()
         structural = ("NEXT_CHUNK", "FROM_DOCUMENT")
-        edges = dedupe_edges(edges, skip_types=structural).persist()
-        edges.count()
+        # no standalone dedupe_edges: resolution ends in the same
+        # (start,type,end) min_by and min-of-mins == global min —
+        # matching plans/pipeline.py's skip of the duplicate shuffle
         nodes, edges, _ = resolve_exact(
             nodes, edges, untouched_edge_types=structural
         )

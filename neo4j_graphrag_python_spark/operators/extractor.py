@@ -46,6 +46,7 @@ GRAPH_ROWS_FIELDS = (
     "kind string, id string, label string, properties map<string,string>, "
     "start_node_id string, end_node_id string, type string, "
     "start_label string, end_label string, "
+    "start_name string, end_name string, "
     "conv_id string, chunk_uid string, status string"
 )
 # start_label/end_label: the extractor knows endpoint labels at emission
@@ -54,6 +55,13 @@ GRAPH_ROWS_FIELDS = (
 # endpoint existence WITHOUT joining the edge set against the node set:
 # a dangling within-chunk reference surfaces as a NULL label here, and
 # global existence ≡ within-chunk existence ∧ endpoint-not-pruned.
+#
+# start_name/end_name: the endpoint nodes' resolve-key property ("name"),
+# carried for the same reason — exact entity resolution can then re-point
+# edges with an equi-join against the (label, name) → canonical-id map
+# (one row per canonical ENTITY, runtime-broadcastable) instead of two
+# shuffle joins against the mention-id mapping (one row per MENTION,
+# proportional to the corpus).  See resolver.resolve_exact fast path.
 
 
 class ExtractionError(RuntimeError):
@@ -238,6 +246,8 @@ _COLS = [
     "type",
     "start_label",
     "end_label",
+    "start_name",
+    "end_name",
     "conv_id",
     "chunk_uid",
     "status",
@@ -262,7 +272,7 @@ def _process_items(
     out: dict[str, list] = {c: [] for c in _COLS}
 
     def emit(kind, nid, label, props, start, end, etype, slabel, elabel,
-             conv, cuid, status):
+             conv, cuid, status, sname=None, ename=None):
         out["kind"].append(kind)
         out["id"].append(nid)
         out["label"].append(label)
@@ -272,6 +282,8 @@ def _process_items(
         out["type"].append(etype)
         out["start_label"].append(slabel)
         out["end_label"].append(elabel)
+        out["start_name"].append(sname)
+        out["end_name"].append(ename)
         out["conv_id"].append(conv)
         out["chunk_uid"].append(cuid)
         out["status"].append(status)
@@ -289,10 +301,12 @@ def _process_items(
         prefix = f"{chunk_uid}:"
         chunk_index_str = str(int(chunk_index))
         local_labels = {str(n["id"]): str(n["label"]) for n in graph["nodes"]}
+        local_names: dict[str, str] = {}
         for n in graph["nodes"]:
             props = _props_to_str_map(n.get("properties"))
             props["chunk_index"] = chunk_index_str
             node_id = prefix + str(n["id"])
+            local_names[str(n["id"])] = props.get("name")
             emit(
                 "node", node_id, str(n["label"]), props,
                 None, None, None, None, None, conv_id, chunk_uid, status,
@@ -302,6 +316,7 @@ def _process_items(
                     "edge", None, None, {}, node_id, chunk_uid,
                     from_chunk_type, str(n["label"]), chunk_node_label,
                     conv_id, chunk_uid, status,
+                    sname=props.get("name"),
                 )
         for r in graph["relationships"]:
             emit(
@@ -312,6 +327,8 @@ def _process_items(
                 local_labels.get(str(r["start_node_id"])),
                 local_labels.get(str(r["end_node_id"])),
                 conv_id, chunk_uid, status,
+                sname=local_names.get(str(r["start_node_id"])),
+                ename=local_names.get(str(r["end_node_id"])),
             )
         if not graph["nodes"] and not graph["relationships"]:
             # keep an explicit per-chunk status row for lineage
@@ -477,6 +494,8 @@ def split_graph_rows(graph_rows: DataFrame) -> tuple[DataFrame, DataFrame]:
         "properties",
         "start_label",
         "end_label",
+        "start_name",
+        "end_name",
         "conv_id",
         "chunk_uid",
     )

@@ -245,9 +245,29 @@ def prune_edges(
     )
 
     annotated = rest.withColumn("pruned_reason", reason)
-    pruned = annotated.where(F.col("pruned_reason").isNotNull()).drop(
-        "start_label", "end_label"
+    drop_cols = ["start_label", "end_label"] + (
+        ["start_name", "end_name"] if "start_name" in rest.columns else []
     )
+    pruned = annotated.where(F.col("pruned_reason").isNotNull()).drop(*drop_cols)
+    # resolve-key columns (start_name/end_name) survive pruning when
+    # present — resolution consumes them (see resolver fast path), with
+    # direction reversal swapping names exactly like endpoint ids
+    carry = []
+    if "start_name" in rest.columns:
+        carry = [
+            F.when(F.col("_swap"), F.col("end_label"))
+            .otherwise(F.col("start_label"))
+            .alias("start_label"),
+            F.when(F.col("_swap"), F.col("start_label"))
+            .otherwise(F.col("end_label"))
+            .alias("end_label"),
+            F.when(F.col("_swap"), F.col("end_name"))
+            .otherwise(F.col("start_name"))
+            .alias("start_name"),
+            F.when(F.col("_swap"), F.col("start_name"))
+            .otherwise(F.col("end_name"))
+            .alias("end_name"),
+        ]
     kept_rest = (
         annotated.where(F.col("pruned_reason").isNull())
         .withColumn("_swap", reverse_valid)
@@ -262,12 +282,12 @@ def prune_edges(
             final_props.alias("properties"),
             "conv_id",
             "chunk_uid",
+            *carry,
         )
     )
-    # kept edges leave in canonical schema: label columns are consumed here
-    if "start_label" in lex_edges.columns:
+    if not carry and "start_label" in lex_edges.columns:
         lex_edges = lex_edges.drop("start_label", "end_label")
-    kept = lex_edges.unionByName(kept_rest)
+    kept = lex_edges.unionByName(kept_rest, allowMissingColumns=True)
     return kept, pruned
 
 

@@ -165,7 +165,31 @@ def resolve_exact(
     resolve_property: str = "name",
     untouched_edge_types: tuple[str, ...] | None = None,
 ) -> tuple[DataFrame, DataFrame, ResolutionStats]:
-    """SinglePropertyExactMatchResolver.run (resolver.py:112-168)."""
+    """SinglePropertyExactMatchResolver.run (resolver.py:112-168).
+
+    Two physical strategies, identical semantics:
+
+    * **carried-key fast path** — when edges carry the endpoints'
+      resolve key (``start_name``/``end_name`` from extraction, surviving
+      pruning) and the key is the resolve property: canonical nodes come
+      from ONE groupBy of the mention set (min_by chunk order keeps the
+      first node's row — the reference's first-wins merge), and edges
+      re-point via equi-joins against the (label, key) → canonical-id map,
+      which has one row per canonical ENTITY (AQE broadcasts it when
+      small) — never a join against the mention-id mapping, which is
+      proportional to the corpus.
+    * **mapping path** — the generic fallback (edges from storage, custom
+      resolve property): mention-id mapping + apply_merge_mapping.
+    """
+    carried = (
+        resolve_property == "name"
+        and "start_name" in edges.columns
+        and "end_name" in edges.columns
+    )
+    if carried:
+        return _resolve_exact_carried(
+            nodes, edges, resolve_property, untouched_edge_types
+        )
     # persist: the mapping feeds three joins (node anti-join + two edge
     # re-pointings) plus the stats aggregate — without it the whole
     # upstream extract/prune DAG re-executes per consumer.
@@ -177,6 +201,91 @@ def resolve_exact(
     new_nodes, new_edges = apply_merge_mapping(
         nodes, edges, mapping, untouched_types=untouched_edge_types
     )
+    stats = ResolutionStats(
+        number_of_nodes_to_resolve=stats_row["n"],
+        number_of_created_nodes=stats_row["c"],
+    )
+    return new_nodes, new_edges, stats
+
+
+def _resolve_exact_carried(
+    nodes: DataFrame,
+    edges: DataFrame,
+    resolve_property: str,
+    untouched_edge_types: tuple[str, ...] | None,
+) -> tuple[DataFrame, DataFrame, ResolutionStats]:
+    key = F.col("properties").getItem(resolve_property)
+    in_scope = F.col("is_entity") & key.isNotNull()
+    scoped = nodes.where(in_scope)
+    others = nodes.where(~F.coalesce(in_scope, F.lit(False)))
+
+    # ONE shuffle of the mention set: first row (chunk order) per
+    # (label, key) group IS the canonical node, properties 'discard'
+    # first-wins included — no anti-join against a merged-away set.
+    canonical = (
+        scoped.groupBy(F.col("label").alias("_gl"), key.alias("_gk"))
+        .agg(
+            F.min_by(F.struct(*nodes.columns), _order_key()).alias("_first"),
+            F.count("*").alias("_n_mentions"),
+        )
+        .persist()
+    )
+    stats_row = canonical.agg(
+        F.sum("_n_mentions").alias("n"), F.count("*").alias("c")
+    ).collect()[0]
+    new_nodes = others.unionByName(
+        canonical.select(*[F.col(f"_first.{c}").alias(c) for c in nodes.columns])
+    )
+
+    # (label, key) → canonical id: one row per canonical entity
+    cmap = canonical.select(
+        F.col("_gl").alias("_l"),
+        F.col("_gk").alias("_k"),
+        F.col("_first.id").alias("_cid"),
+    )
+
+    passthrough = None
+    if untouched_edge_types:
+        passthrough = edges.where(F.col("type").isin(list(untouched_edge_types)))
+        edges = edges.where(~F.col("type").isin(list(untouched_edge_types)))
+
+    for endpoint, lab, nm in (
+        ("start_node_id", "start_label", "start_name"),
+        ("end_node_id", "end_label", "end_name"),
+    ):
+        edges = (
+            edges.join(
+                cmap,
+                (F.col(lab) == F.col("_l")) & (F.col(nm) == F.col("_k")),
+                "left",
+            )
+            .withColumn(endpoint, F.coalesce(F.col("_cid"), F.col(endpoint)))
+            .drop("_l", "_k", "_cid")
+        )
+
+    out_cols = [
+        "start_node_id", "end_node_id", "type",
+        "properties", "conv_id", "chunk_uid",
+    ]
+    new_edges = (
+        edges.groupBy("start_node_id", "type", "end_node_id")
+        .agg(
+            F.min_by(
+                F.struct("properties", "conv_id", "chunk_uid"),
+                F.struct("chunk_uid", "conv_id"),
+            ).alias("_f")
+        )
+        .select(
+            "start_node_id",
+            "end_node_id",
+            "type",
+            F.col("_f.properties").alias("properties"),
+            F.col("_f.conv_id").alias("conv_id"),
+            F.col("_f.chunk_uid").alias("chunk_uid"),
+        )
+    )
+    if passthrough is not None:
+        new_edges = new_edges.unionByName(passthrough.select(*out_cols))
     stats = ResolutionStats(
         number_of_nodes_to_resolve=stats_row["n"],
         number_of_created_nodes=stats_row["c"],

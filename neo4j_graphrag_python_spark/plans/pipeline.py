@@ -105,15 +105,17 @@ def run_kg_pipeline(
 
     if cfg.create_lexical_graph:
         lex_nodes, lex_edges = build_lexical_graph(documents, chunks, cfg.lexical)
-        # persist + eager materialize: pruning reads nodes twice (kept +
-        # edge-label join), edges feed prune and the pruned side-output,
-        # and AQE submits those consumers concurrently
-        nodes = lex_nodes.unionByName(entity_nodes).persist()
-        edges = lex_edges.unionByName(entity_edges).persist()
-        nodes.count(), edges.count()
+        # no persist here: graph_rows and chunks (the expensive Python
+        # stages) are already eagerly cached by checkpoint_stage, so every
+        # downstream consumer re-reads cheap cache scans — an extra
+        # materialized copy of the unions costs more than it saves
+        # (measured: ~1.5-3s of the sf0.1 tail)
+        nodes = lex_nodes.unionByName(entity_nodes)
+        # entity edges carry resolve-key columns (start_name/end_name);
+        # lexical edges get NULLs — they are untouched by resolution
+        edges = lex_edges.unionByName(entity_edges, allowMissingColumns=True)
     else:
-        nodes, edges = entity_nodes.persist(), entity_edges.persist()
-        nodes.count(), edges.count()
+        nodes, edges = entity_nodes, entity_edges
 
     nodes, edges, pruned_nodes, pruned_edges = prune_graph(
         nodes, edges, schema, cfg.lexical
