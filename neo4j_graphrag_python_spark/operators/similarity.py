@@ -90,6 +90,20 @@ def build_ann_index(
     return indexed, planes
 
 
+def write_ann_index(indexed: DataFrame, path: str) -> None:
+    """Materialize an ANN index partitioned by bucket: probes then become
+    partition-pruned scans — Spark reads ONLY the probed buckets' files,
+    never the corpus (`PartitionFilters: [bucket IN (...)]` in the scan
+    node; demonstrated in EXPLAIN.md and tests).  This is the on-disk
+    shape the reference's vector index (indexes.py:24-102) maps to at
+    100 TB: the bucket column is the coarse quantization cell."""
+    indexed.write.mode("overwrite").partitionBy("bucket").parquet(path)
+
+
+def read_ann_index(spark, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
 def topk_ann(
     indexed: DataFrame,
     planes: list[list[float]],

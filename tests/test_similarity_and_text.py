@@ -213,3 +213,31 @@ def test_expand_neighborhood(spark) -> None:
     # direction: 'in' from a finds nothing
     got3 = expand_neighborhood(edges, start, hops=2, direction="in").count()
     assert got3 == 1  # just the start node
+
+
+def test_ann_index_partition_pruning(spark, emb, tmp_path) -> None:
+    """The materialized ANN index is partitioned by bucket; probes become
+    partition-pruned scans (only probed buckets' files are read)."""
+    from neo4j_graphrag_python_spark.operators.similarity import (
+        read_ann_index,
+        write_ann_index,
+    )
+
+    q = emb.where(F.col("vec_id") == 7).collect()[0]["embedding"]
+    indexed, planes = build_ann_index(emb, dim=64, num_planes=6)
+    path = str(tmp_path / "ann_index")
+    write_ann_index(indexed, path)
+    on_disk = read_ann_index(spark, path)
+    res = topk_ann(on_disk, planes, q, k=10, probe_hamming=2)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan
+    # the probed scan must NOT read all 2^6 bucket partitions
+    import re as _re
+
+    m = _re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and m.group(1).strip(), "partition filter must be pushed"
+    got = {r["id"] for r in res.collect()}
+    assert 7 in got
+    # same results as the in-memory index
+    mem = {r["id"] for r in topk_ann(indexed, planes, q, k=10, probe_hamming=2).collect()}
+    assert got == mem
