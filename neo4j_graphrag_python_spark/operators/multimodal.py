@@ -75,14 +75,25 @@ def _fake_decode(payload: bytes, dim: int = 16) -> list[float]:
 def extract_features(
     media: DataFrame,
     decode_fn: Callable[[bytes], list[float]] | None = None,
-    batch_target_bytes: int = 64 << 20,
+    batch_target_bytes: int | None = 64 << 20,
 ) -> DataFrame:
     """media → per-item feature vectors via mapInPandas.
 
     ``decode_fn`` runs per item inside an Arrow batch; failures are
     captured per-row in ``status`` (never fail the task for one corrupt
-    file — at 10^9 files some always are)."""
+    file — at 10^9 files some always are).
+
+    ``batch_target_bytes``: payloads are large and skewed — repartition so
+    a task holds roughly this many payload bytes (one cheap aggregate to
+    size it; pass None to keep the incoming partitioning)."""
     fn = decode_fn or _fake_decode
+
+    if batch_target_bytes:
+        total = media.agg(
+            F.sum(F.octet_length(F.col("payload"))).alias("b")
+        ).first()["b"]
+        if total:
+            media = media.repartition(max(1, int(total // batch_target_bytes) + 1))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -437,6 +437,13 @@ def connected_components(
     Iterative min-label propagation — the distributed _consolidate_sets
     (resolver.py:299-313).  After LSH blocking components are tiny, so this
     converges in a handful of iterations; each is one shuffle.
+
+    Lineage note: per-iteration ``localCheckpoint`` truncates lineage in
+    EXECUTOR memory — fast, but not fault-tolerant (a lost executor fails
+    the job).  That's the right trade here (post-LSH inputs are small and
+    iterations few); for cluster-scale inputs swap to reliable
+    ``df.checkpoint()`` with ``spark.sparkContext.setCheckpointDir`` so a
+    lost block recomputes from HDFS instead of failing.
     """
     sym = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")

@@ -134,6 +134,32 @@ def topk_ann(
     return scored.orderBy(F.desc("score"), "id").limit(k)
 
 
+def upsert_vectors(
+    nodes: DataFrame,
+    vectors: DataFrame,
+    id_col: str = "id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Reference upsert_vectors (indexes.py:251-305): attach/replace the
+    embedding property on existing nodes by id.
+
+    Spark-first: a left join + coalesce — rows in ``vectors`` win, others
+    keep their current embedding.  ``vectors``: (id, embedding).  The
+    vector set is usually the small side (new/updated embeddings), so it
+    broadcasts; output schema equals the node schema.
+    """
+    v = vectors.select(
+        F.col(id_col).alias("_vid"),
+        F.col(vec_col).cast("array<float>").alias("_vemb"),
+    )
+    out_cols = nodes.columns
+    return (
+        nodes.join(F.broadcast(v), nodes[id_col] == F.col("_vid"), "left")
+        .withColumn(vec_col, F.coalesce(F.col("_vemb"), F.col(vec_col)))
+        .select(*out_cols)
+    )
+
+
 def topk_multi_query(
     embeddings: DataFrame,
     queries: DataFrame,

@@ -241,3 +241,23 @@ def test_ann_index_partition_pruning(spark, emb, tmp_path) -> None:
     # same results as the in-memory index
     mem = {r["id"] for r in topk_ann(indexed, planes, q, k=10, probe_hamming=2).collect()}
     assert got == mem
+
+
+def test_upsert_vectors(spark) -> None:
+    """Reference upsert_vectors semantics: provided ids get the new
+    embedding, others keep theirs; schema unchanged."""
+    from neo4j_graphrag_python_spark.operators.similarity import upsert_vectors
+    from neo4j_graphrag_python_spark.types import NODES_SCHEMA
+
+    nodes = spark.createDataFrame(
+        [
+            ("a", "Person", True, {"name": "A"}, [1.0, 0.0], "c", "u"),
+            ("b", "Person", True, {"name": "B"}, None, "c", "u"),
+        ],
+        NODES_SCHEMA,
+    )
+    vecs = spark.createDataFrame([("b", [0.5, 0.5])], ["id", "embedding"])
+    out = {r["id"]: r for r in upsert_vectors(nodes, vecs).collect()}
+    assert out["b"]["embedding"] == [0.5, 0.5]
+    assert out["a"]["embedding"] == [1.0, 0.0]
+    assert set(out["a"].asDict()) == {c for c in nodes.columns}

@@ -194,3 +194,44 @@ def test_default_pdf_slot_requires_pypdf() -> None:
 
         with _pytest.raises(PdfLoaderError, match="pypdf"):
             default_pdf_text_fn(b"%PDF-1.4")
+
+
+def test_streaming_dedup_exact(spark, tmp_path) -> None:
+    """Duplicate texts within the watermark horizon are dropped; state is
+    keyed by content hash and bounded by the horizon."""
+    import datetime as dt
+
+    from neo4j_graphrag_python_spark.streaming.stream import (
+        read_transcript_stream,
+        streaming_dedup_exact,
+    )
+
+    src = tmp_path / "dd_src"
+    src.mkdir()
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    rows = [
+        ("c1", 0, "user", "hello world", None, t0),
+        ("c1", 1, "user", "hello world", None, t0 + dt.timedelta(seconds=30)),
+        ("c2", 0, "user", "different text", None, t0 + dt.timedelta(seconds=40)),
+        ("c2", 1, "user", "hello world", None, t0 + dt.timedelta(seconds=50)),
+    ]
+    from neo4j_graphrag_python_spark.types import TRANSCRIPTS_SCHEMA
+
+    spark.createDataFrame(rows, TRANSCRIPTS_SCHEMA).coalesce(1).write.parquet(
+        str(src / "b1.parquet")
+    )
+    stream = read_transcript_stream(spark, str(src / "b1.parquet"))
+    dedup = streaming_dedup_exact(stream, watermark="10 minutes")
+    q = (
+        dedup.writeStream.format("parquet")
+        .option("path", str(tmp_path / "dd_out"))
+        .option("checkpointLocation", str(tmp_path / "dd_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.read.parquet(str(tmp_path / "dd_out"))
+    texts = [r["text"] for r in out.collect()]
+    assert sorted(texts) == ["different text", "hello world"]
+    assert "_text_hash" not in out.columns
