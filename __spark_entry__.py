@@ -421,6 +421,30 @@ def q_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language sampling (md5-hash filter: stable across
+    re-runs/engines, shuffle-free) — hash-checked against the identical
+    md5 math in DuckDB, proving the exact row set matches."""
+    from neo4j_graphrag_python_spark.operators.sampling import stratified_sample
+
+    docs = _read(spark, sf_dir, "documents")
+    return stratified_sample(
+        docs.select("doc_id", "lang"),
+        rates={"en": 0.5, "de": 0.25},
+        strata_col="lang",
+        key_col="doc_id",
+        default_rate=0.1,
+    )
+
+
+def q_corpus_stats_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS corpus accounting: (lang, source), (lang), total in
+    one aggregation pass."""
+    from neo4j_graphrag_python_spark.operators.sampling import corpus_stats_rollup
+
+    return corpus_stats_rollup(_read(spark, sf_dir, "documents"))
+
+
 def q_regional_supply_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """4-way dim chain (region ⋈ nation ⋈ supplier ⋈ lineitem ⋈ part):
     supplied retail value per region/part-brand — broadcast dims, decimal-
@@ -551,6 +575,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_bruteforce": q_ann_topk_bruteforce,
         "embedding_neardup_pairs": q_embedding_neardup_pairs,
         "regional_supply_value": q_regional_supply_value,
+        "doc_sample_stratified": q_doc_sample_stratified,
+        "corpus_stats_rollup": q_corpus_stats_rollup,
         "doc_quality": q_doc_quality,
         "doc_lang_id": q_doc_lang_id,
         "doc_bpe_tokens": q_doc_bpe_tokens,
@@ -818,6 +844,23 @@ FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE round(list_dot_product(a.v, b.v)
       / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
       >= 0.4
+""",
+        "doc_sample_stratified": """
+SELECT doc_id, lang FROM documents
+WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      / 4294967296.0
+      < CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25 ELSE 0.1 END
+""",
+        "corpus_stats_rollup": r"""
+SELECT coalesce(lang, '<all>') AS lang,
+       coalesce(source, '<all>') AS source,
+       count(*) AS n_docs,
+       sum(length(text)) AS n_chars,
+       sum(CASE WHEN trim(text) = '' THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\s+')) END)
+         AS n_tokens
+FROM documents
+GROUP BY GROUPING SETS ((lang, source), (lang), ())
 """,
         "regional_supply_value": """
 SELECT r_name AS region, p_brand AS brand,

@@ -1,0 +1,100 @@
+"""Dataset curation operators: deterministic sampling + corpus stats.
+
+A 100 TB training-data pipeline samples and accounts constantly — and at
+that scale sampling must be DETERMINISTIC (re-runs and resumed jobs pick
+identical rows; `df.sample()` does not survive a retry) and SHUFFLE-FREE
+(a filter, not a repartition).  Both operators here are pure Catalyst
+expressions:
+
+  * hash sampling: keep a row iff the top 32 bits of md5(key) — a
+    uniform uint32 — fall below rate·2³².  md5 is chosen over xxhash64
+    because every engine speaks it, so cross-engine oracles (DuckDB) can
+    verify the exact row set;
+  * stratified: per-stratum rates via a broadcast rate table — one
+    broadcast join + the same filter, no groupBy;
+  * corpus stats: GROUPING SETS rollup (lang × source, lang, total) in
+    ONE aggregation pass — three groupBys' worth of answers for one
+    shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+_U32 = float(1 << 32)
+
+
+def _hash_unit(key: Column, salt: str) -> Column:
+    """Deterministic uniform [0, 1) from a key column (md5 top 32 bits)."""
+    h = F.conv(F.substring(F.md5(F.concat(key, F.lit(salt))), 1, 8), 16, 10)
+    return h.cast("bigint") / F.lit(_U32)
+
+
+def deterministic_sample(
+    df: DataFrame,
+    rate: float,
+    key_col: str,
+    salt: str = "",
+) -> DataFrame:
+    """Keep ~rate of rows, chosen by content hash — stable across re-runs,
+    retries, and engines; no shuffle (a partition-local filter).  Change
+    ``salt`` to draw an independent sample."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError("rate must be in [0, 1]")
+    return df.where(_hash_unit(F.col(key_col).cast("string"), salt) < rate)
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    strata_col: str,
+    key_col: str,
+    default_rate: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Per-stratum deterministic sampling (e.g. per-language rates when
+    rebalancing a corpus).  The rate table broadcasts; rows in strata
+    absent from ``rates`` get ``default_rate``."""
+    spark = df.sparkSession
+    rate_df = spark.createDataFrame(
+        [(k, float(v)) for k, v in rates.items()], [strata_col, "_rate"]
+    )
+    return (
+        df.join(F.broadcast(rate_df), strata_col, "left")
+        .where(
+            _hash_unit(F.col(key_col).cast("string"), salt)
+            < F.coalesce(F.col("_rate"), F.lit(float(default_rate)))
+        )
+        .drop("_rate")
+    )
+
+
+def corpus_stats_rollup(
+    docs: DataFrame,
+    lang_col: str = "lang",
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus accounting in one aggregation pass: docs/chars/tokens by
+    (lang, source), by lang, and in total, via GROUPING SETS — the
+    all-levels rows come from one shuffle instead of three jobs.
+    NULL group keys are rendered '<all>' so results are join/oracle-safe."""
+    toks = F.when(
+        F.trim(F.col(text_col)) == "", F.lit(0)
+    ).otherwise(F.size(F.split(F.trim(F.col(text_col)), r"\s+")))
+    grouped = docs.groupingSets(
+        [[lang_col, source_col], [lang_col], []],
+        F.col(lang_col),
+        F.col(source_col),
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.length(F.col(text_col))).alias("n_chars"),
+        F.sum(toks).alias("n_tokens"),
+    )
+    return grouped.select(
+        F.coalesce(F.col(lang_col), F.lit("<all>")).alias(lang_col),
+        F.coalesce(F.col(source_col), F.lit("<all>")).alias(source_col),
+        "n_docs",
+        "n_chars",
+        "n_tokens",
+    )
