@@ -28,4 +28,18 @@ from neo4j_graphrag_python_spark.schema import (  # noqa: F401
     PropertyType,
     RelationshipType,
 )
-from neo4j_graphrag_python_spark.types import LexicalGraphConfig  # noqa: F401
+from neo4j_graphrag_python_spark.types import (  # noqa: F401
+    LexicalGraphConfig,
+    PipelineConfig,
+    SplitterConfig,
+)
+
+__all__ = [
+    "GraphSchema",
+    "NodeType",
+    "PropertyType",
+    "RelationshipType",
+    "LexicalGraphConfig",
+    "PipelineConfig",
+    "SplitterConfig",
+]

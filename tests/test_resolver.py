@@ -130,3 +130,53 @@ def test_connected_components_transitive(spark) -> None:
     assert comp["a"] == comp["b"] == comp["c"]
     assert comp["x"] == comp["y"]
     assert comp["a"] != comp["x"]
+
+
+def test_carried_and_mapping_paths_equivalent(spark) -> None:
+    """resolve_exact's carried-key fast path and the generic mention-
+    mapping path must produce the same canonical graph on the same
+    input (the fast path drops to the generic one when edges lack the
+    carried columns)."""
+    from neo4j_graphrag_python_spark import transcripts as tr
+    from neo4j_graphrag_python_spark.operators.extractor import (
+        demo_rules,
+        extract_from_documents,
+        regex_extractor,
+        split_graph_rows,
+    )
+    from neo4j_graphrag_python_spark.operators.assemble import assemble_documents
+    from neo4j_graphrag_python_spark.operators.resolver import resolve_exact
+    from neo4j_graphrag_python_spark.types import SplitterConfig
+
+    docs = assemble_documents(
+        spark.read.parquet(tr.ensure_transcripts("/root/testdata/sf0.001"))
+    )
+    rows = extract_from_documents(
+        docs, regex_extractor(demo_rules()), splitter_config=SplitterConfig(600, 200)
+    ).persist()
+    nodes, edges = split_graph_rows(rows)
+    assert "start_name" in edges.columns
+
+    fast_n, fast_e, fast_s = resolve_exact(nodes, edges)
+    slow_n, slow_e, slow_s = resolve_exact(
+        nodes, edges.drop("start_name", "end_name")
+    )
+    assert fast_s.number_of_nodes_to_resolve == slow_s.number_of_nodes_to_resolve
+    assert fast_s.number_of_created_nodes == slow_s.number_of_created_nodes
+
+    def node_set(df):
+        return {
+            (r["id"], r["label"], r["properties"].get("name"))
+            for r in df.collect()
+        }
+
+    def edge_set(df):
+        return {
+            (r["start_node_id"], r["type"], r["end_node_id"],
+             tuple(sorted(r["properties"].items())), r["chunk_uid"])
+            for r in df.collect()
+        }
+
+    assert node_set(fast_n) == node_set(slow_n)
+    assert edge_set(fast_e) == edge_set(slow_e)
+    rows.unpersist()
