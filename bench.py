@@ -68,65 +68,91 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    timings: dict[str, float] = {}
+    # scaling runs (scripts/bench_scaling.py) measure the compute-bound
+    # extraction phase only, in fresh JVMs, one attempt each; the full
+    # pipeline bench runs BENCH_REPEATS attempts with fresh caches and
+    # keeps the best — this host's neighbor load swings 2-3x within
+    # minutes, and a single sample conflates that with the code under test
+    skip_resolve = os.environ.get("BENCH_SKIP_RESOLVE") == "1"
+    skip_relational = os.environ.get("BENCH_SKIP_RELATIONAL") == "1"
+    repeats = int(os.environ.get("BENCH_REPEATS", "1" if skip_resolve else "2"))
+
+    transcripts = spark.read.parquet(fixture)
+    splitter_cfg = SplitterConfig(600, 200, approximate=True)
+
+    def one_attempt() -> tuple[dict, int, int | None]:
+        timings: dict[str, float] = {}
+
+        def timed(name: str, fn):
+            t0 = time.perf_counter()
+            out = fn()
+            timings[name] = round(time.perf_counter() - t0, 3)
+            return out
+
+        # --- headline: triple emission (assemble → fused split+extract) ---
+        # one shuffle (conv_id) + one Python pass; the staged
+        # split→cache→extract path exists for checkpointed lineage /
+        # extreme skew and is exercised by the pipeline tests.
+        t_pipeline0 = time.perf_counter()
+        documents = assemble_documents(transcripts)
+        graph_rows = extract_from_documents(
+            documents,
+            regex_extractor(demo_rules()),
+            splitter_config=splitter_cfg,
+            num_partitions=4 * cpus,
+        ).persist()
+        caches = [graph_rows]
+        n_emitted = timed(
+            "kg_emit_fused",
+            lambda: graph_rows.where(F.col("kind") == "edge").count(),
+        )
+
+        def finish():
+            # chunks table (lexical graph + lineage) via the staged splitter
+            chunks = split_fixed_size(documents, splitter_cfg).persist()
+            caches.append(chunks)
+            timed("kg_split", lambda: chunks.count())
+            entity_nodes, entity_edges = split_graph_rows(graph_rows)
+            lex_nodes, lex_edges = build_lexical_graph(documents, chunks)
+            # graph_rows and chunks (the expensive Python stages) are
+            # cached; everything below re-reads cheap cache scans, so no
+            # further persists — an extra materialized copy of the unions
+            # costs more than it saves (measured ~1.5-3s of the sf0.1 tail)
+            nodes = lex_nodes.unionByName(entity_nodes)
+            edges = lex_edges.unionByName(
+                entity_edges, allowMissingColumns=True
+            )
+            nodes, edges, _, _ = prune_graph(nodes, edges, demo_schema())
+            structural = ("NEXT_CHUNK", "FROM_DOCUMENT")
+            # no standalone dedupe_edges: resolution ends in the same
+            # (start,type,end) min_by and min-of-mins == global min —
+            # matching plans/pipeline.py's skip of the duplicate shuffle
+            nodes, edges, _ = resolve_exact(
+                nodes, edges, untouched_edge_types=structural
+            )
+            return triples_view(nodes, edges).count()
+
+        canon = None if skip_resolve else timed("kg_prune_resolve", finish)
+        timings["kg_pipeline_total"] = round(time.perf_counter() - t_pipeline0, 3)
+        for c in caches:
+            c.unpersist()
+        return timings, n_emitted, canon
+
+    loadavgs = []
+    attempts = []
+    for _ in range(max(1, repeats)):
+        loadavgs.append(round(os.getloadavg()[0], 2))
+        attempts.append(one_attempt())
+    timings, n_emitted, canonical_triples = min(
+        attempts, key=lambda a: a[0]["kg_pipeline_total"]
+    )
+    pipeline_sec = timings["kg_pipeline_total"]
 
     def timed(name: str, fn):
         t0 = time.perf_counter()
         out = fn()
         timings[name] = round(time.perf_counter() - t0, 3)
         return out
-
-    transcripts = spark.read.parquet(fixture)
-
-    # --- headline: triple emission (assemble → fused split+extract) -------
-    # one shuffle (conv_id) + one Python pass; the staged
-    # split→cache→extract path exists for checkpointed lineage / extreme
-    # skew and is exercised by the pipeline tests.
-    t_pipeline0 = time.perf_counter()
-    documents = assemble_documents(transcripts)
-    splitter_cfg = SplitterConfig(600, 200, approximate=True)
-    graph_rows = extract_from_documents(
-        documents,
-        regex_extractor(demo_rules()),
-        splitter_config=splitter_cfg,
-        num_partitions=4 * cpus,
-    ).persist()
-    n_emitted = timed(
-        "kg_emit_fused",
-        lambda: graph_rows.where(F.col("kind") == "edge").count(),
-    )
-
-    def finish():
-        # chunks table (lexical graph + lineage) via the staged splitter
-        chunks = split_fixed_size(documents, splitter_cfg).persist()
-        timed("kg_split", lambda: chunks.count())
-        entity_nodes, entity_edges = split_graph_rows(graph_rows)
-        lex_nodes, lex_edges = build_lexical_graph(documents, chunks)
-        # graph_rows and chunks (the expensive Python stages) are cached;
-        # everything below re-reads cheap cache scans, so no further
-        # persists — an extra materialized copy of the unions costs more
-        # than it saves (measured ~1.5-3s of the sf0.1 tail)
-        nodes = lex_nodes.unionByName(entity_nodes)
-        edges = lex_edges.unionByName(entity_edges, allowMissingColumns=True)
-        nodes, edges, _, _ = prune_graph(nodes, edges, demo_schema())
-        structural = ("NEXT_CHUNK", "FROM_DOCUMENT")
-        # no standalone dedupe_edges: resolution ends in the same
-        # (start,type,end) min_by and min-of-mins == global min —
-        # matching plans/pipeline.py's skip of the duplicate shuffle
-        nodes, edges, _ = resolve_exact(
-            nodes, edges, untouched_edge_types=structural
-        )
-        return triples_view(nodes, edges).count()
-
-    # scaling runs (scripts/bench_scaling.py) measure the compute-bound
-    # extraction phase only and may use fixture-only sf dirs without the
-    # relational testdata tables
-    skip_resolve = os.environ.get("BENCH_SKIP_RESOLVE") == "1"
-    skip_relational = os.environ.get("BENCH_SKIP_RELATIONAL") == "1"
-
-    canonical_triples = None if skip_resolve else timed("kg_prune_resolve", finish)
-    pipeline_sec = round(time.perf_counter() - t_pipeline0, 3)
-    timings["kg_pipeline_total"] = pipeline_sec
 
     # --- representative operator queries ----------------------------------
     if not skip_relational:
@@ -152,6 +178,8 @@ def main() -> None:
         "triples_emitted": n_emitted,
         "triples_per_sec": round(n_emitted / extract_sec, 1) if extract_sec else None,
         "canonical_triples": canonical_triples,
+        "attempts": [a[0]["kg_pipeline_total"] for a in attempts],
+        "loadavg_1m": loadavgs,
     }
     spark.stop()
     print(json.dumps(result))
