@@ -129,3 +129,64 @@ def test_fuzz_ratio_properties(a: str, b: str) -> None:
     pa, pb = default_process(a), default_process(b)
     if pa == pb:
         assert ratio(pa, pb) == 1.0
+
+
+# ---------------------------------------------------------------------------
+# dedup primitives (pure-python mirrors of the Spark expressions)
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=50, deadline=None)
+@given(text=st.text(max_size=120))
+def test_simhash_deterministic_and_zero_on_empty(text: str) -> None:
+    from neo4j_graphrag_python_spark.operators.dedup import simhash64
+
+    v = simhash64(text)
+    assert v == simhash64(text)  # deterministic
+    assert -(1 << 63) <= v < (1 << 63)  # fits a Spark bigint
+    if not text.split():
+        assert v == 0
+    # token order does not matter beyond multiplicity (bit voting)
+    toks = text.split()
+    if len(toks) > 1:
+        assert simhash64(" ".join(reversed(toks))) == v
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    k=st.integers(0, 16),
+    fp_pairs=st.lists(
+        st.tuples(
+            st.integers(-(1 << 63), (1 << 63) - 1),
+            st.integers(0, 63),
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+)
+def test_pigeonhole_band_cover(k: int, fp_pairs) -> None:
+    """Pure math behind simhash_neardup_pairs: two 64-bit values within
+    Hamming distance k must agree exactly on >= 1 of the k+1 contiguous
+    bands the operator derives."""
+    bands = k + 1
+    base_w, extra = divmod(64, bands)
+    spans = []
+    start = 0
+    for i in range(bands):
+        w = base_w + (1 if i < extra else 0)
+        spans.append((start, w))
+        start += w
+
+    for fp, nflips in fp_pairs:
+        # flip exactly min(nflips, k) distinct bits
+        other = fp
+        for b in range(min(nflips, k)):
+            other ^= 1 << ((b * 7) % 64)
+        agree = any(
+            ((fp >> s) & ((1 << w) - 1)) == ((other >> s) & ((1 << w) - 1))
+            for s, w in spans
+            if w < 64
+        ) or (bands == 1 and fp == other)
+        hamming = bin((fp ^ other) & ((1 << 64) - 1)).count("1")
+        if hamming <= k:
+            assert agree, (k, fp, other)
