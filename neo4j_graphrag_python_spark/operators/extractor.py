@@ -416,6 +416,7 @@ def extract_from_documents(
     lexical_config: LexicalGraphConfig | None = None,
     create_from_chunk_edges: bool = True,
     num_partitions: int | None = None,
+    fuse_max_doc_chars: int | None = None,
 ) -> DataFrame:
     """Fused split+extract: documents → graph rows in ONE Python pass.
 
@@ -430,8 +431,16 @@ def extract_from_documents(
     sentinel boundary-context semantics).
 
     Partitioning: documents are hash-repartitioned on conv_id; per-task
-    work is bounded by document size (a pathological mega-conversation is
-    the case where the staged path's chunk-level repartition wins).
+    work is bounded by document size.  A pathological mega-conversation
+    would pin all of its (expensive) per-chunk model calls to ONE task, so
+    documents longer than ``fuse_max_doc_chars`` are routed through the
+    staged path instead: splitting stays sequential per doc (approximate
+    chunk boundaries are sequentially dependent — fixed_size_splitter.py's
+    start depends on the previous adjusted start, so a doc cannot be
+    sliced and split in parallel without changing reference semantics),
+    but the model calls spread over the salted chunk-hash repartition.
+    Output is identical either way (tests/test_fused_extract.py asserts
+    fused == staged row-for-row; the whale test asserts the spread).
     """
     from neo4j_graphrag_python_spark.functions.splitting import split_text
     from neo4j_graphrag_python_spark.operators.splitter import _chunk_uid
@@ -467,9 +476,32 @@ def extract_from_documents(
             yield _to_pdf(out)
 
     src = documents.select("conv_id", "text")
+    if fuse_max_doc_chars is None:
+        # default: a doc whose chunk count rivals a whole task's fair
+        # share stops amortizing fusion and starts hoarding a core
+        fuse_max_doc_chars = 256 * (size - overlap)
+    is_whale = F.length(F.coalesce(F.col("text"), F.lit(""))) > fuse_max_doc_chars
+    small = src.where(~is_whale)
     if num_partitions:
-        src = src.repartition(num_partitions, "conv_id")
-    return src.mapInPandas(fused_batches, schema=GRAPH_ROWS_FIELDS)
+        small = small.repartition(num_partitions, "conv_id")
+    fused = small.mapInPandas(fused_batches, schema=GRAPH_ROWS_FIELDS)
+
+    whales = src.where(is_whale)
+    # staged route for whales: sequential per-doc split (cheap string
+    # scan), then the expensive model calls spread across the salted
+    # chunk-hash repartition
+    from neo4j_graphrag_python_spark.operators.splitter import split_fixed_size
+
+    whale_chunks = split_fixed_size(whales, scfg)
+    staged = extract_graph_rows(
+        whale_chunks,
+        extractor_fn,
+        on_error=on_error,
+        lexical_config=lexical_config,
+        create_from_chunk_edges=create_from_chunk_edges,
+        num_partitions=num_partitions,
+    )
+    return fused.unionByName(staged)
 
 
 def split_graph_rows(graph_rows: DataFrame) -> tuple[DataFrame, DataFrame]:

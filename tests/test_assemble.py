@@ -59,3 +59,75 @@ def test_per_turn_text_equality_invariant(spark) -> None:
         )
     ).count()
     assert mismatches == 0
+
+
+def test_skewed_conversation_end_to_end(spark) -> None:
+    """Skew robustness: one conversation 200× longer than its peers must
+    neither break the lineage invariant nor distort extraction — the
+    assemble groupBy is per-conv bounded, and the extractor's salted
+    chunk-hash repartition spreads the giant doc's chunks across tasks."""
+    import datetime as dt
+
+    from neo4j_graphrag_python_spark.operators.extractor import (
+        demo_rules,
+        extract_from_documents,
+        regex_extractor,
+        split_graph_rows,
+    )
+    from neo4j_graphrag_python_spark.types import (
+        TRANSCRIPTS_SCHEMA,
+        SplitterConfig,
+    )
+
+    t0 = dt.datetime(2026, 1, 1)
+    rows = []
+    for i in range(2000):  # the whale
+        rows.append(("whale", i, "user", f"turn {i}. Alice works for Globex.", None, t0))
+    for c in range(20):  # normal pods
+        rows.append((f"c{c}", 0, "user", f"Bob knows Carol. msg {c}", None, t0))
+    transcripts = spark.createDataFrame(rows, TRANSCRIPTS_SCHEMA)
+
+    docs = assemble_documents(transcripts)
+    recon = explode_turn_lineage(docs)
+    mismatches = (
+        transcripts.alias("t")
+        .join(recon.alias("r"), ["conv_id", "turn_idx"])
+        .where(F.col("t.text") != F.col("r.reconstructed_text"))
+        .count()
+    )
+    assert mismatches == 0
+
+    graph_rows = extract_from_documents(
+        docs,
+        regex_extractor(demo_rules()),
+        splitter_config=SplitterConfig(600, 200),
+        fuse_max_doc_chars=20_000,  # force the whale onto the staged route
+        num_partitions=8,  # explicit → AQE won't coalesce the tiny shuffle
+    )
+    # the salted repartition must spread the whale's chunks, not pin them
+    # to one partition
+    import pyspark.sql.functions as SF
+
+    parts = (
+        graph_rows.where(SF.col("conv_id") == "whale")
+        .select(SF.spark_partition_id().alias("p"))
+        .distinct()
+        .count()
+    )
+    assert parts > 1
+    nodes, edges = split_graph_rows(graph_rows)
+    n_whale_mentions = nodes.where(SF.col("conv_id") == "whale").count()
+    assert n_whale_mentions > 100  # extraction saw the whole whale
+
+    # mixed routing (fused pods + staged whale) must equal the all-fused
+    # output row-for-row
+    all_fused = extract_from_documents(
+        docs,
+        regex_extractor(demo_rules()),
+        splitter_config=SplitterConfig(600, 200),
+        fuse_max_doc_chars=10**9,
+    )
+    cols = [c for c in graph_rows.columns]
+    a = {tuple(str(r[c]) for c in cols) for r in graph_rows.collect()}
+    b = {tuple(str(r[c]) for c in cols) for r in all_fused.collect()}
+    assert a == b
