@@ -47,6 +47,51 @@ def last_messages(
     return [f"{r['role']}: {r['text']}" for r in rows]
 
 
+SUMMARY_SYSTEM_MESSAGE = (
+    "You are a summarization assistant. Summarize the given text in no "
+    "more than 300 words."
+)
+
+
+def chat_summary_prompt(message_history: list[dict]) -> str:
+    """Reference GraphRAG._chat_summary_prompt (graphrag.py:179-187)."""
+    history = "\n".join(
+        f"{m['role']}: {m['content']}" for m in message_history
+    )
+    return f"""
+Summarize the message history:
+
+{history}
+"""
+
+
+def conversation_prompt(summary: str, current_query: str) -> str:
+    """Reference GraphRAG.conversation_prompt (graphrag.py:189-196)."""
+    return f"""
+Message Summary:
+{summary}
+
+Current Query:
+{current_query}
+"""
+
+
+def build_query(
+    query_text: str,
+    llm_fn: LlmFn,
+    message_history: list[dict] | None = None,
+) -> str:
+    """Reference GraphRAG._build_query (graphrag.py:161-177): with history,
+    summarize it through the LLM (same system message) and wrap the query;
+    without, pass the query through unchanged."""
+    if message_history:
+        summary = llm_fn(
+            SUMMARY_SYSTEM_MESSAGE + "\n" + chat_summary_prompt(message_history)
+        )
+        return conversation_prompt(summary=summary, current_query=query_text)
+    return query_text
+
+
 def graphrag_search(
     nodes: DataFrame,
     query_text: str,
@@ -55,8 +100,10 @@ def graphrag_search(
     response_fallback: str | None = None,
     examples: str = "",
     context_property: str = "name",
+    message_history: list[dict] | None = None,
 ) -> RagResult:
     """GraphRAG.search semantics over the materialized graph."""
+    query_text = build_query(query_text, llm_fn, message_history)
     hits = vector_search(nodes, query_text=query_text, top_k=top_k)
     enriched = hits.join(
         nodes.select(

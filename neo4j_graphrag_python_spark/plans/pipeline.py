@@ -99,6 +99,7 @@ def run_kg_pipeline(
             on_error=cfg.on_error,
             lexical_config=cfg.lexical,
             num_partitions=cfg.extract_partitions,
+            fuse_max_doc_chars=cfg.fuse_max_doc_chars,
         )
     graph_rows = checkpoint_stage(graph_rows, ckpt, "graph_rows")
     entity_nodes, entity_edges = split_graph_rows(graph_rows)

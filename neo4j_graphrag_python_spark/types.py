@@ -168,4 +168,7 @@ class PipelineConfig:
     resolve_property: str = "name"
     # partitioning knobs for 100TB scale (SURVEY.md §4: skew & salting)
     extract_partitions: int | None = None  # default: spark.sql.shuffle.partitions
+    # docs longer than this leave the fused split+extract path for the
+    # staged one (salted per-chunk model calls) — whale-conversation skew
+    fuse_max_doc_chars: int | None = None  # default: 256 chunk-steps
     checkpoint_dir: str | None = None  # per-stage parquet checkpoints + resume

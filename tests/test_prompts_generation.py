@@ -101,3 +101,30 @@ def test_graphrag_search(spark) -> None:
         empty, "Alice", llm_fn=lambda p: "x", response_fallback="no context"
     )
     assert fb.answer == "no context" and fb.retrieved_ids == []
+
+
+def test_build_query_with_message_history() -> None:
+    """Reference _build_query semantics (graphrag.py:161-187): history is
+    summarized through the LLM and wrapped with the current query."""
+    from neo4j_graphrag_python_spark.generation import build_query
+
+    calls = []
+
+    def llm(prompt: str) -> str:
+        calls.append(prompt)
+        return "SUMMARY_TEXT"
+
+    out = build_query(
+        "what now?",
+        llm,
+        message_history=[
+            {"role": "user", "content": "hi"},
+            {"role": "assistant", "content": "hello"},
+        ],
+    )
+    assert "Message Summary:\nSUMMARY_TEXT" in out
+    assert "Current Query:\nwhat now?" in out
+    assert "user: hi" in calls[0] and "assistant: hello" in calls[0]
+    assert "summarization assistant" in calls[0]
+    # no history → identity
+    assert build_query("plain", llm) == "plain"
