@@ -36,6 +36,7 @@ from neo4j_graphrag_python_spark.operators.assemble import (  # noqa: E402
     assemble_documents,
 )
 from neo4j_graphrag_python_spark.operators.extractor import (  # noqa: E402
+    chunks_view,
     demo_rules,
     extract_from_documents,
     regex_extractor,
@@ -46,9 +47,6 @@ from neo4j_graphrag_python_spark.operators.lexical import (  # noqa: E402
 )
 from neo4j_graphrag_python_spark.operators.pruning import prune_graph  # noqa: E402
 from neo4j_graphrag_python_spark.operators.resolver import resolve_exact  # noqa: E402
-from neo4j_graphrag_python_spark.operators.splitter import (  # noqa: E402
-    split_fixed_size,
-)
 from neo4j_graphrag_python_spark.plans.pipeline import triples_view  # noqa: E402
 from neo4j_graphrag_python_spark.schema import demo_schema  # noqa: E402
 from neo4j_graphrag_python_spark.session import build_spark  # noqa: E402
@@ -95,11 +93,17 @@ def main() -> None:
         # extreme skew and is exercised by the pipeline tests.
         t_pipeline0 = time.perf_counter()
         documents = assemble_documents(transcripts)
+        # emit_chunk_rows: the chunks table comes out of the SAME fused
+        # pass (kind='chunk' rows → chunks_view) — the corpus is split
+        # once, not once for extraction and once for the lineage table.
+        # Scaling runs (BENCH_SKIP_RESOLVE) keep chunk emission off so the
+        # triples/sec metric definition stays comparable across rounds.
         graph_rows = extract_from_documents(
             documents,
             regex_extractor(demo_rules()),
             splitter_config=splitter_cfg,
             num_partitions=4 * cpus,
+            emit_chunk_rows=not skip_resolve,
         ).persist()
         caches = [graph_rows]
         n_emitted = timed(
@@ -108,8 +112,11 @@ def main() -> None:
         )
 
         def finish():
-            # chunks table (lexical graph + lineage) via the staged splitter
-            chunks = split_fixed_size(documents, splitter_cfg).persist()
+            # chunks come from the cached fused output; persist the typed
+            # projection — three lexical consumers read it, and re-deriving
+            # from the (map-typed, bigger) graph_rows cache per consumer
+            # costs more than one small materialization
+            chunks = chunks_view(graph_rows).persist()
             caches.append(chunks)
             timed("kg_split", lambda: chunks.count())
             entity_nodes, entity_edges = split_graph_rows(graph_rows)

@@ -23,7 +23,6 @@ deployments with the real dependency get identical-to-reference scores.
 from __future__ import annotations
 
 import re
-from difflib import SequenceMatcher
 
 try:  # pragma: no cover - absent in this sandbox
     from rapidfuzz import fuzz as _rf_fuzz
@@ -40,15 +39,39 @@ def default_process(s: str) -> str:
     return _NON_ALNUM.sub(" ", s.lower()).strip()
 
 
+def _lcs_len(a: str, b: str) -> int:
+    """Longest-common-subsequence length (two-row DP).
+
+    O(len·len) per pair — inputs are LSH-blocked entity names, not
+    documents.  difflib's SequenceMatcher was used here first and turned
+    out to be greedy (longest-block recursion), which undercounts matches
+    ASYMMETRICALLY — hypothesis found ratio(a,b) != ratio(b,a); InDel
+    similarity is defined on the true LCS."""
+    if len(a) < len(b):
+        a, b = b, a
+    prev = [0] * (len(b) + 1)
+    for ca in a:
+        cur = [0]
+        append = cur.append
+        for j, cb in enumerate(b, 1):
+            if ca == cb:
+                append(prev[j - 1] + 1)
+            else:
+                pj = prev[j]
+                cj = cur[j - 1]
+                append(pj if pj >= cj else cj)
+        prev = cur
+    return prev[-1]
+
+
 def ratio(a: str, b: str) -> float:
-    """InDel similarity in [0,1]: 2*M/(len(a)+len(b)) over matching blocks."""
+    """InDel similarity in [0,1] (rapidfuzz fuzz.ratio definition):
+    1 - indel_distance/(len(a)+len(b)) = 2*LCS/(len(a)+len(b))."""
     if not a and not b:
         return 1.0
     if not a or not b:
         return 0.0
-    matcher = SequenceMatcher(None, a, b, autojunk=False)
-    matched = sum(block.size for block in matcher.get_matching_blocks())
-    return 2.0 * matched / (len(a) + len(b))
+    return 2.0 * _lcs_len(a, b) / (len(a) + len(b))
 
 
 def _partial_ratio(shorter: str, longer: str) -> float:

@@ -417,8 +417,16 @@ def extract_from_documents(
     create_from_chunk_edges: bool = True,
     num_partitions: int | None = None,
     fuse_max_doc_chars: int | None = None,
+    emit_chunk_rows: bool = False,
 ) -> DataFrame:
     """Fused split+extract: documents → graph rows in ONE Python pass.
+
+    With ``emit_chunk_rows=True`` the same pass also emits kind='chunk'
+    rows (uid, index, char offsets and text in the properties map), so the
+    chunks table comes from :func:`chunks_view` over the cached result —
+    the corpus is split ONCE instead of once for extraction and once for
+    the lexical/lineage table (the second splitting pass was ~10% of the
+    sf3 pipeline wall).
 
     The staged path (split_fixed_size → cache → extract_graph_rows) pays
     two Arrow round trips and an extra shuffle so the chunks table can be
@@ -459,20 +467,47 @@ def extract_from_documents(
     def fused_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             items = []
+            chunk_rows = []
             for conv_id, text in zip(pdf["conv_id"], pdf["text"]):
                 doc = text or ""
-                for i, (s, _e, chunk) in enumerate(
+                for i, (s, e, chunk) in enumerate(
                     split_text(doc, size, overlap, approximate)
                 ):
                     ctx = _with_sentinel(doc[max(0, s - 2) : s])
-                    items.append(
-                        (conv_id, _chunk_uid(conv_id, i), i, ctx + chunk)
-                    )
+                    uid = _chunk_uid(conv_id, i)
+                    items.append((conv_id, uid, i, ctx + chunk))
+                    if emit_chunk_rows:
+                        chunk_rows.append(
+                            (
+                                uid,
+                                {
+                                    "chunk_index": str(i),
+                                    "char_start": str(s),
+                                    "char_end": str(e),
+                                    "text": chunk,
+                                    "boundary_ctx": doc[max(0, s - 2) : s],
+                                },
+                                conv_id,
+                            )
+                        )
             out = _process_items(
                 items, extractor_fn, raise_on_error,
                 from_chunk_type, create_from_chunk_edges,
                 cfg.chunk_node_label,
             )
+            for uid, props, conv_id in chunk_rows:
+                out["kind"].append("chunk")
+                out["id"].append(uid)
+                out["label"].append(cfg.chunk_node_label)
+                out["properties"].append(props)
+                for c in (
+                    "start_node_id", "end_node_id", "type",
+                    "start_label", "end_label", "start_name", "end_name",
+                ):
+                    out[c].append(None)
+                out["conv_id"].append(conv_id)
+                out["chunk_uid"].append(uid)
+                out["status"].append("ok")
             yield _to_pdf(out)
 
     src = documents.select("conv_id", "text")
@@ -501,7 +536,56 @@ def extract_from_documents(
         create_from_chunk_edges=create_from_chunk_edges,
         num_partitions=num_partitions,
     )
+    if emit_chunk_rows:
+        # whales' chunk rows come straight from their chunks table (JVM
+        # projection, no second Python pass)
+        staged = staged.unionByName(
+            whale_chunks.select(
+                F.lit("chunk").alias("kind"),
+                F.col("chunk_uid").alias("id"),
+                F.lit(cfg.chunk_node_label).alias("label"),
+                F.map_from_arrays(
+                    F.array(
+                        F.lit("chunk_index"), F.lit("char_start"),
+                        F.lit("char_end"), F.lit("text"),
+                        F.lit("boundary_ctx"),
+                    ),
+                    F.array(
+                        F.col("chunk_index").cast("string"),
+                        F.col("char_start").cast("string"),
+                        F.col("char_end").cast("string"),
+                        F.col("text"),
+                        F.coalesce(F.col("boundary_ctx"), F.lit("")),
+                    ),
+                ).alias("properties"),
+                F.lit(None).cast("string").alias("start_node_id"),
+                F.lit(None).cast("string").alias("end_node_id"),
+                F.lit(None).cast("string").alias("type"),
+                F.lit(None).cast("string").alias("start_label"),
+                F.lit(None).cast("string").alias("end_label"),
+                F.lit(None).cast("string").alias("start_name"),
+                F.lit(None).cast("string").alias("end_name"),
+                F.col("conv_id"),
+                F.col("chunk_uid"),
+                F.lit("ok").alias("status"),
+            )
+        )
     return fused.unionByName(staged)
+
+
+def chunks_view(graph_rows: DataFrame) -> DataFrame:
+    """kind='chunk' rows → the canonical chunks schema (what
+    split_fixed_size produces), typed back out of the properties map."""
+    p = F.col("properties")
+    return graph_rows.where(F.col("kind") == "chunk").select(
+        F.col("chunk_uid"),
+        F.col("conv_id"),
+        p.getItem("chunk_index").cast("int").alias("chunk_index"),
+        p.getItem("char_start").cast("int").alias("char_start"),
+        p.getItem("char_end").cast("int").alias("char_end"),
+        p.getItem("text").alias("text"),
+        F.coalesce(p.getItem("boundary_ctx"), F.lit("")).alias("boundary_ctx"),
+    )
 
 
 def split_graph_rows(graph_rows: DataFrame) -> tuple[DataFrame, DataFrame]:

@@ -24,6 +24,7 @@ from neo4j_graphrag_python_spark.operators.assemble import assemble_documents
 from neo4j_graphrag_python_spark.operators.embedder import embed_column
 from neo4j_graphrag_python_spark.operators.extractor import (
     ExtractorFn,
+    chunks_view,
     extract_from_documents,
     extract_graph_rows,
     split_graph_rows,
@@ -72,18 +73,20 @@ def run_kg_pipeline(
 
     documents = assemble_documents(transcripts)
     chunks = None
-    if ckpt or cfg.create_lexical_graph or embed_chunks:
-        chunks = split_fixed_size(documents, cfg.splitter)
-        chunks = checkpoint_stage(chunks, ckpt, "chunks")
-        if embed_chunks:
-            chunks = embed_column(chunks)
+    need_chunks = bool(ckpt or cfg.create_lexical_graph or embed_chunks)
 
     # extraction — the expensive stage: one pass, checkpointed, then split.
     # With a checkpoint_dir the staged path runs over the (checkpointed)
     # chunks table so a resume skips straight to extraction; without one,
     # the fused split+extract operator avoids a second Python round trip
-    # (identical output — tests/test_fused_extract.py).
+    # (identical output — tests/test_fused_extract.py) AND emits the
+    # chunks table rows in the same pass (kind='chunk' → chunks_view), so
+    # the corpus is split exactly once.
     if ckpt:
+        chunks = split_fixed_size(documents, cfg.splitter)
+        chunks = checkpoint_stage(chunks, ckpt, "chunks")
+        if embed_chunks:
+            chunks = embed_column(chunks)
         graph_rows = extract_graph_rows(
             chunks,
             extractor_fn,
@@ -100,8 +103,17 @@ def run_kg_pipeline(
             lexical_config=cfg.lexical,
             num_partitions=cfg.extract_partitions,
             fuse_max_doc_chars=cfg.fuse_max_doc_chars,
+            emit_chunk_rows=need_chunks,
         )
     graph_rows = checkpoint_stage(graph_rows, ckpt, "graph_rows")
+    if not ckpt and need_chunks:
+        # persist the typed projection: the lexical builder reads chunks
+        # three times (nodes, FROM_DOCUMENT, NEXT_CHUNK window) and
+        # re-deriving from the map-typed graph_rows cache per consumer
+        # costs more than one small materialization
+        chunks = checkpoint_stage(chunks_view(graph_rows), None, "chunks")
+        if embed_chunks:
+            chunks = embed_column(chunks)
     entity_nodes, entity_edges = split_graph_rows(graph_rows)
 
     if cfg.create_lexical_graph:
