@@ -59,7 +59,10 @@ def _ensure_simhash_fixture() -> str:
     """SimHash fingerprints of sf0.01 documents, materialized once so the
     DuckDB oracle can check the banded near-dup join against an exact
     all-pairs bit_count(xor) ≤ k — fingerprints come from the same
-    deterministic ``simhash64`` the Spark UDF uses."""
+    deterministic ``simhash64`` the Spark UDF uses.  Pinned to sf0.01 by
+    the same contract as SF001_FIXTURE: the driver's oracle comparison
+    runs at sf=0.01 only (testdata is read-only, so staleness cannot
+    occur); at any other sf_dir the query is rows-only-meaningful."""
     out = tr.FIXTURE_ROOT / "sf0.01" / "simhash.parquet"
     if not out.exists():
         import pyarrow as pa
@@ -855,8 +858,10 @@ WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
       < CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25 ELSE 0.1 END
 """,
         "corpus_stats_rollup": r"""
-SELECT coalesce(lang, '<all>') AS lang,
-       coalesce(source, '<all>') AS source,
+SELECT CASE WHEN GROUPING(lang) = 1 THEN '<all>'
+            ELSE coalesce(lang, '<null>') END AS lang,
+       CASE WHEN GROUPING(source) = 1 THEN '<all>'
+            ELSE coalesce(source, '<null>') END AS source,
        count(*) AS n_docs,
        sum(length(text)) AS n_chars,
        sum(CASE WHEN trim(text) = '' THEN 0

@@ -53,10 +53,15 @@ SUMMARY_SYSTEM_MESSAGE = (
 )
 
 
-def chat_summary_prompt(message_history: list[dict]) -> str:
-    """Reference GraphRAG._chat_summary_prompt (graphrag.py:179-187)."""
+def chat_summary_prompt(message_history: list) -> str:
+    """Reference GraphRAG._chat_summary_prompt (graphrag.py:179-187).
+
+    Accepts the reference's {'role','content'} dicts AND the plain
+    'role: text' strings produced by this module's own
+    :func:`last_messages` — the natural wiring must not crash."""
     history = "\n".join(
-        f"{m['role']}: {m['content']}" for m in message_history
+        m if isinstance(m, str) else f"{m['role']}: {m['content']}"
+        for m in message_history
     )
     return f"""
 Summarize the message history:
@@ -79,7 +84,7 @@ Current Query:
 def build_query(
     query_text: str,
     llm_fn: LlmFn,
-    message_history: list[dict] | None = None,
+    message_history: list | None = None,
 ) -> str:
     """Reference GraphRAG._build_query (graphrag.py:161-177): with history,
     summarize it through the LLM (same system message) and wrap the query;
@@ -100,7 +105,7 @@ def graphrag_search(
     response_fallback: str | None = None,
     examples: str = "",
     context_property: str = "name",
-    message_history: list[dict] | None = None,
+    message_history: list | None = None,
 ) -> RagResult:
     """GraphRAG.search semantics over the materialized graph."""
     query_text = build_query(query_text, llm_fn, message_history)

@@ -457,10 +457,34 @@ def embedding_neardup_lsh(
         cosine_col,
     )
 
-    if num_planes is None or num_tables is None:
-        m, L = lsh_params_for(threshold, target_recall)
-        num_planes = num_planes or m
-        num_tables = num_tables or L
+    import math
+
+    p_bit = 1.0 - math.acos(max(-1.0, min(1.0, threshold))) / math.pi
+    if num_planes is None and num_tables is None:
+        num_planes, num_tables = lsh_params_for(threshold, target_recall)
+    elif num_tables is None:
+        # recompute L for the CALLER'S plane count — reusing the jointly
+        # derived L with a different m silently voids the recall target
+        pm = p_bit ** num_planes
+        num_tables = (
+            1 if pm >= 1.0
+            else math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - pm))
+        )
+    elif num_planes is None:
+        # largest m whose required table count fits the caller's L
+        num_planes = 1
+        for m in range(1, 33):
+            pm = p_bit ** m
+            if pm >= 1.0:
+                num_planes = m
+                continue
+            need = math.ceil(
+                math.log(1.0 - target_recall) / math.log(1.0 - pm)
+            )
+            if need <= num_tables:
+                num_planes = m
+            else:
+                break
 
     rng = random.Random(seed)
     v = F.col(vec_col).cast("array<double>")

@@ -75,7 +75,7 @@ def _fake_decode(payload: bytes, dim: int = 16) -> list[float]:
 def extract_features(
     media: DataFrame,
     decode_fn: Callable[[bytes], list[float]] | None = None,
-    batch_target_bytes: int | None = 64 << 20,
+    batch_target_bytes: int | None = None,
 ) -> DataFrame:
     """media → per-item feature vectors via mapInPandas.
 
@@ -83,15 +83,25 @@ def extract_features(
     captured per-row in ``status`` (never fail the task for one corrupt
     file — at 10^9 files some always are).
 
-    ``batch_target_bytes``: payloads are large and skewed — repartition so
-    a task holds roughly this many payload bytes (one cheap aggregate to
-    size it; pass None to keep the incoming partitioning)."""
+    Partition sizing: frames from :func:`read_binary_dir` are already
+    size-bounded by the binaryFile source (maxPartitionBytes), so the
+    DEFAULT is to keep the incoming partitioning — no extra pass over the
+    payload column.  For media from other sources, pass
+    ``batch_target_bytes`` to resize from the ``meta['length']`` metadata
+    when present (no payload scan), falling back to one octet_length
+    aggregate otherwise (batch DataFrames only)."""
     fn = decode_fn or _fake_decode
 
-    if batch_target_bytes:
-        total = media.agg(
-            F.sum(F.octet_length(F.col("payload"))).alias("b")
-        ).first()["b"]
+    if batch_target_bytes and not media.isStreaming:
+        size_col = (
+            F.coalesce(
+                F.col("meta").getItem("length").cast("long"),
+                F.octet_length(F.col("payload")).cast("long"),
+            )
+            if "meta" in media.columns
+            else F.octet_length(F.col("payload")).cast("long")
+        )
+        total = media.agg(F.sum(size_col).alias("b")).first()["b"]
         if total:
             media = media.repartition(max(1, int(total // batch_target_bytes) + 1))
 
@@ -121,7 +131,6 @@ def extract_features(
                     out["status"].append(f"error:{type(e).__name__}")
             yield pd.DataFrame(out)
 
-    # payloads are large: repartition so a task holds ~batch_target_bytes
     return media.select("media_id", "kind", "payload").mapInPandas(
         run, schema=FEATURES_SCHEMA
     )

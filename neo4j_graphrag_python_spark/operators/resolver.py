@@ -231,7 +231,10 @@ def _resolve_exact_carried(
         .persist()
     )
     stats_row = canonical.agg(
-        F.sum("_n_mentions").alias("n"), F.count("*").alias("c")
+        # sum over zero groups is NULL; the mapping path's count(*) gives
+        # 0 on an empty scope — keep the two paths' stats identical
+        F.coalesce(F.sum("_n_mentions"), F.lit(0)).alias("n"),
+        F.count("*").alias("c"),
     ).collect()[0]
     new_nodes = others.unionByName(
         canonical.select(*[F.col(f"_first.{c}").alias(c) for c in nodes.columns])

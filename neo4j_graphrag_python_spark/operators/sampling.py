@@ -90,10 +90,23 @@ def corpus_stats_rollup(
         F.count("*").alias("n_docs"),
         F.sum(F.length(F.col(text_col))).alias("n_chars"),
         F.sum(toks).alias("n_tokens"),
+        # grouping() is only legal inside the grouping-sets aggregate
+        F.grouping(lang_col).alias("_gl"),
+        F.grouping(source_col).alias("_gs"),
     )
+    # '<all>' only for ROLLUP nulls (grouping flag == 1); genuinely NULL
+    # data values render '<null>' — otherwise a NULL-source group row and
+    # the per-lang rollup row would collide on the same key
+    def rendered(col: str, flag: str):
+        return (
+            F.when(F.col(flag) == 1, F.lit("<all>"))
+            .otherwise(F.coalesce(F.col(col), F.lit("<null>")))
+            .alias(col)
+        )
+
     return grouped.select(
-        F.coalesce(F.col(lang_col), F.lit("<all>")).alias(lang_col),
-        F.coalesce(F.col(source_col), F.lit("<all>")).alias(source_col),
+        rendered(lang_col, "_gl"),
+        rendered(source_col, "_gs"),
         "n_docs",
         "n_chars",
         "n_tokens",

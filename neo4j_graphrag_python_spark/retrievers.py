@@ -191,7 +191,11 @@ def hybrid_search(
     HybridRetriever semantics; alpha=None → naive max fusion).
 
     Pass a prebuilt ``fulltext_index`` (build_fulltext_index) to use the
-    join-based inverted-index path instead of the full scan."""
+    join-based inverted-index path instead of the full scan.  NOTE: the
+    two fulltext paths differ in MATCH semantics, not just plan shape —
+    the scan scores substring containment per term, the index scores
+    exact whole-token matches (Lucene-style analysis); identical results
+    only for whole-token queries (asserted in tests)."""
     v = vector_search(nodes, query_text=query_text, top_k=top_k * 4)
     if fulltext_index is not None:
         ft = fulltext_search_indexed(fulltext_index, query_text, top_k=top_k * 4)

@@ -245,9 +245,12 @@ class Text2SqlRetriever:
         try:
             records = self.spark.sql(sql)
         except Exception as e:
-            from pyspark.errors import ParseException
+            from pyspark.errors import AnalysisException, ParseException
 
-            if isinstance(e, ParseException):
+            # ParseException = syntax; AnalysisException = hallucinated
+            # column/table — both are "the LLM produced an invalid query",
+            # the condition CypherSyntaxError covers for the reference
+            if isinstance(e, (ParseException, AnalysisException)):
                 raise Text2SqlRetrievalError(
                     f"Failed to get search result: {e}"
                 ) from e

@@ -228,3 +228,27 @@ def test_embedding_lsh_high_threshold_planted(spark) -> None:
     assert lsh <= exact
     m, L = lsh_params_for(0.95)
     assert m >= 16  # long signatures → strong pruning at high thresholds
+
+
+def test_embedding_lsh_partial_override_keeps_recall(spark) -> None:
+    """Supplying only num_planes must recompute the table count for that
+    plane count — reusing the jointly derived L would silently void the
+    recall target (review finding)."""
+    from neo4j_graphrag_python_spark.operators.dedup import (
+        embedding_neardup_exact,
+        embedding_neardup_lsh,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_neardup_exact(emb, threshold=0.4).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_neardup_lsh(
+            emb, dim=64, threshold=0.4, num_planes=8, target_recall=0.95
+        ).collect()
+    }
+    recall = len(exact & lsh) / len(exact)
+    assert recall >= 0.9, f"recall {recall:.2f} with caller-set planes"

@@ -128,3 +128,14 @@ def test_build_query_with_message_history() -> None:
     assert "summarization assistant" in calls[0]
     # no history → identity
     assert build_query("plain", llm) == "plain"
+
+
+def test_build_query_accepts_last_messages_strings() -> None:
+    """The module's own last_messages output ('role: text' strings) must
+    be accepted by the summarization path (review finding)."""
+    from neo4j_graphrag_python_spark.generation import build_query
+
+    out = build_query(
+        "next?", lambda p: "S", message_history=["user: a", "assistant: b"]
+    )
+    assert "Message Summary:\nS" in out

@@ -180,3 +180,23 @@ def test_carried_and_mapping_paths_equivalent(spark) -> None:
     assert node_set(fast_n) == node_set(slow_n)
     assert edge_set(fast_e) == edge_set(slow_e)
     rows.unpersist()
+
+
+def test_resolve_exact_empty_scope_stats_are_zero(spark) -> None:
+    """Both resolution paths must report 0 (not NULL) on a corpus with no
+    resolvable entities (review finding)."""
+    from neo4j_graphrag_python_spark.operators.resolver import resolve_exact
+    from neo4j_graphrag_python_spark.types import EDGES_SCHEMA, NODES_SCHEMA
+
+    nodes = spark.createDataFrame(
+        [("c1", "Chunk", False, {}, None, "c1", "u1")], NODES_SCHEMA
+    )
+    edges = spark.createDataFrame([], EDGES_SCHEMA)
+    carried = edges.withColumn("start_name", F.lit(None).cast("string")) \
+        .withColumn("end_name", F.lit(None).cast("string")) \
+        .withColumn("start_label", F.lit(None).cast("string")) \
+        .withColumn("end_label", F.lit(None).cast("string"))
+    _, _, s_fast = resolve_exact(nodes, carried)
+    _, _, s_slow = resolve_exact(nodes, edges)
+    assert s_fast.number_of_nodes_to_resolve == 0
+    assert s_slow.number_of_nodes_to_resolve == 0

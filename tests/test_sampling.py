@@ -74,3 +74,21 @@ def test_rollup_single_shuffle(docs) -> None:
     """GROUPING SETS must expand inside one aggregation, not three jobs."""
     plan = corpus_stats_rollup(docs)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") <= 2  # expand + final agg exchange only
+
+
+def test_rollup_distinguishes_null_data_from_rollup_all(spark) -> None:
+    """A genuinely NULL stratum value must not collide with the rollup's
+    '<all>' sentinel."""
+    docs = spark.createDataFrame(
+        [
+            (1, "a b", "en", None),
+            (2, "c d", "en", "web"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    rows = {(r["lang"], r["source"]): r["n_docs"]
+            for r in corpus_stats_rollup(docs).collect()}
+    assert rows[("en", "<null>")] == 1
+    assert rows[("en", "web")] == 1
+    assert rows[("en", "<all>")] == 2
+    assert rows[("<all>", "<all>")] == 2

@@ -186,3 +186,14 @@ def test_generated_sql_is_catalyst_planned(spark, graph) -> None:
     res = r.search("people ids")
     plan = res.records._jdf.queryExecution().optimizedPlan().toString()
     assert "Filter" in plan or "label" in plan
+
+
+def test_analysis_error_surfaces_as_retrieval_error(spark, graph) -> None:
+    """A hallucinated column (AnalysisException) is a retrieval failure,
+    like Cypher unknown-identifier errors (review finding)."""
+    nodes, edges = graph
+    r = Text2SqlRetriever(
+        spark, lambda p: "SELECT namez FROM graph_nodes", nodes=nodes, edges=edges
+    )
+    with pytest.raises(Text2SqlRetrievalError):
+        r.search("anything")
