@@ -12,7 +12,9 @@ pure-Python stand-in:
   golden cases (``"  ALICE  "`` vs ``"alice!"`` → identical → 1.0;
   tests/unit/.../test_resolver.py:233-240).
 * :func:`ratio` — InDel similarity (rapidfuzz ``fuzz.ratio`` definition:
-  ``1 - distance/(len_a+len_b)``) via difflib's matching blocks.
+  ``1 - distance/(len_a+len_b)``) via an exact LCS two-row DP (difflib's
+  SequenceMatcher was tried first but its greedy matching is asymmetric —
+  caught by hypothesis).
 * :func:`wratio` — weighted combination approximating ``fuzz.WRatio``:
   full ratio and, for length-imbalanced pairs, a scaled partial ratio.
 

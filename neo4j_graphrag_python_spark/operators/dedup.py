@@ -187,16 +187,28 @@ def exact_jaccard_pairs(
     text_col: str = "text",
     shingle_k: int = 5,
     threshold: float = 0.4,
+    max_df_frac: float | None = None,
 ) -> DataFrame:
     """Exact character-shingle Jaccard for ALL pairs above ``threshold``
     — the recall oracle for MinHash-LSH.
 
     Not all-pairs: intersection sizes come from an equi-join on the
     exploded distinct shingles (|A∩B| = count of shared shingles), unions
-    from per-doc shingle counts — so cost is Σ_s count(s)², bounded by
+    from per-doc shingle counts — so cost is Σ_s df(s)², bounded by
     shingle popularity rather than n².  Still superlinear for very common
     shingles; use for gating/sampling, MinHash-LSH for production dedup.
     Everything is JVM built-ins (HOF shingling, explode, joins).
+
+    ``max_df_frac``: document-frequency cap — shingles occurring in more
+    than this fraction of documents are dropped BEFORE the self-join, and
+    per-doc sizes are recomputed on the filtered shingle universe so the
+    score stays a consistent Jaccard over that universe (the standard
+    stop-shingle move in the dedup literature: ubiquitous shingles carry
+    no pair-discriminating signal but dominate the join).  With the cap,
+    every surviving shingle has df ≤ f·N, so the join cost
+    Σ df(s)² ≤ f·N·Σ df(s) — linear in total postings for fixed f,
+    instead of quadratic in the most popular shingle's df.  None (the
+    default) keeps the exact uncapped semantics used by the oracle gate.
     """
     norm = F.lower(F.coalesce(F.col(text_col), F.lit("")))
     n_sh = F.greatest(F.length(norm) - F.lit(shingle_k - 1), F.lit(1))
@@ -206,6 +218,19 @@ def exact_jaccard_pairs(
         )
     )
     sh = df.select(F.col(id_col).alias("id"), F.explode(shingles).alias("s"))
+    if max_df_frac is not None:
+        # shingles are distinct per doc, so count(*) per s IS the doc freq;
+        # the keep-filter join shares its hash partitioning on `s` with the
+        # intersection self-join below
+        n_docs = df.select(F.count("*").alias("N"))
+        keep = (
+            sh.groupBy("s")
+            .agg(F.count("*").alias("df"))
+            .crossJoin(F.broadcast(n_docs))
+            .where(F.col("df") <= F.col("N") * F.lit(max_df_frac))
+            .select("s")
+        )
+        sh = sh.join(keep, "s")
     sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
     inter = (
         sh.alias("a")
@@ -420,6 +445,18 @@ def lsh_params_for(
     return best
 
 
+def lsh_achievable_recall(
+    threshold: float, num_planes: int, num_tables: int
+) -> float:
+    """Model recall of (m, L) hyperplane LSH for a pair at exactly
+    ``threshold`` cosine: 1 − (1 − p^m)^L with p = 1 − arccos(s)/π."""
+    import math
+
+    p = 1.0 - math.acos(max(-1.0, min(1.0, threshold))) / math.pi
+    pm = min(1.0, p**num_planes)
+    return 1.0 - (1.0 - pm) ** num_tables
+
+
 def embedding_neardup_lsh(
     embeddings: DataFrame,
     dim: int,
@@ -427,6 +464,7 @@ def embedding_neardup_lsh(
     num_planes: int | None = None,
     num_tables: int | None = None,
     target_recall: float = 0.95,
+    max_tables: int = 64,
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -448,33 +486,63 @@ def embedding_neardup_lsh(
     Plan shape: one projection computes all L bucket ids (JVM HOF dot
     products over a broadcast-literal plane matrix), explode to
     (table, bucket), equi-join on (table, bucket) — shuffle-partitionable
-    by bucket key, never an all-pairs join.
+    by bucket key, never an all-pairs join.  Critically, the exploded
+    frame carries ONLY ``(id, tbl, bucket)``: shipping the vector through
+    the ×L explode would amplify every embedding's bytes ~2L× through the
+    shuffle (L is 46–58 at the tested operating points — petabytes at
+    100 TB of embeddings).  Vectors are joined back ONCE per side, to the
+    deduped candidate-pair set, for the exact-cosine rescore.
+
+    When the caller overrides one of (num_planes, num_tables) the other
+    is derived for the stated recall target; a derived table count is
+    clamped to ``max_tables`` (with a warning stating the achievable
+    model recall), and an explicit ``num_tables`` too small for the
+    target even at m=1 raises rather than silently voiding the
+    docstring's recall promise.
     """
+    import math
     import random
+    import warnings
 
     from neo4j_graphrag_python_spark.operators.similarity import (
         _hyperplane_signs,
         cosine_col,
     )
 
-    import math
-
     p_bit = 1.0 - math.acos(max(-1.0, min(1.0, threshold))) / math.pi
     if num_planes is None and num_tables is None:
-        num_planes, num_tables = lsh_params_for(threshold, target_recall)
+        num_planes, num_tables = lsh_params_for(
+            threshold, target_recall, max_tables=max_tables
+        )
     elif num_tables is None:
         # recompute L for the CALLER'S plane count — reusing the jointly
-        # derived L with a different m silently voids the recall target
-        pm = p_bit ** num_planes
-        num_tables = (
-            1 if pm >= 1.0
-            else math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - pm))
-        )
+        # derived L with a different m silently voids the recall target.
+        # Clamp to max_tables: e.g. threshold=0.5 with num_planes=20 would
+        # otherwise derive ~10,000 tables (a 10,000× explode + a plan with
+        # 10k·m·dim gaussian literals).
+        pm = p_bit**num_planes
+        if pm >= 1.0:
+            num_tables = 1
+        else:
+            need = math.ceil(
+                math.log(1.0 - target_recall) / math.log(1.0 - pm)
+            )
+            num_tables = min(need, max_tables)
+            if need > max_tables:
+                ach = lsh_achievable_recall(threshold, num_planes, num_tables)
+                warnings.warn(
+                    f"embedding_neardup_lsh: recall target {target_recall} "
+                    f"needs {need} tables at num_planes={num_planes} "
+                    f"(threshold={threshold}); clamped to max_tables="
+                    f"{max_tables}, model recall ≈ {ach:.3f}. Lower "
+                    f"num_planes or raise max_tables.",
+                    stacklevel=2,
+                )
     elif num_planes is None:
         # largest m whose required table count fits the caller's L
-        num_planes = 1
+        num_planes = None
         for m in range(1, 33):
-            pm = p_bit ** m
+            pm = p_bit**m
             if pm >= 1.0:
                 num_planes = m
                 continue
@@ -485,6 +553,14 @@ def embedding_neardup_lsh(
                 num_planes = m
             else:
                 break
+        if num_planes is None:
+            ach = lsh_achievable_recall(threshold, 1, num_tables)
+            raise ValueError(
+                f"embedding_neardup_lsh: recall target {target_recall} is "
+                f"unreachable within num_tables={num_tables} at threshold="
+                f"{threshold} even with num_planes=1 (model recall "
+                f"{ach:.3f}). Raise num_tables or lower target_recall."
+            )
 
     rng = random.Random(seed)
     v = F.col(vec_col).cast("array<double>")
@@ -498,22 +574,27 @@ def embedding_neardup_lsh(
                 F.lit(t).alias("tbl"), _hyperplane_signs(v, planes).alias("bucket")
             )
         )
+    # keys only through the explode — no vector payload
     bucketed = embeddings.select(
         F.col(id_col).alias("id"),
-        v.alias("v"),
         F.explode(F.array(*tables)).alias("tb"),
-    ).select("id", "v", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
-    a = bucketed.select(
-        F.col("id").alias("id_a"), F.col("v").alias("v_a"), "tbl", "bucket"
-    )
-    b = bucketed.select(
-        F.col("id").alias("id_b"), F.col("v").alias("v_b"), "tbl", "bucket"
-    )
+    ).select("id", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+    a = bucketed.select(F.col("id").alias("id_a"), "tbl", "bucket")
+    b = bucketed.select(F.col("id").alias("id_b"), "tbl", "bucket")
     cand = (
         a.join(b, ["tbl", "bucket"])
         .where(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    return cand.select(
-        "id_a", "id_b", cosine_col(F.col("v_a"), F.col("v_b")).alias("cosine")
-    ).where(F.col("cosine") >= threshold)
+    # fetch vectors once per side for the exact rescore (un-exploded frame)
+    base = embeddings.select(F.col(id_col).alias("id"), v.alias("v"))
+    va = base.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"))
+    vb = base.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a", "id_b", cosine_col(F.col("v_a"), F.col("v_b")).alias("cosine")
+        )
+        .where(F.col("cosine") >= threshold)
+    )

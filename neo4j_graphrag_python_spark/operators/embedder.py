@@ -49,6 +49,39 @@ def embed_column(
     return df.withColumn(output_col, make_embed_udf(batch_fn, dim)(F.col(text_col)))
 
 
+def embed_named_columns(
+    df: DataFrame,
+    spec: dict[str, str],
+    batch_fn: BatchEmbedFn | None = None,
+    dim: int = DEFAULT_DIM,
+) -> DataFrame:
+    """Multi-vector nodes: one named embedding column per entry of
+    ``spec`` (output_col → source text column/property).
+
+    Reference parity: ``Neo4jNode.embedding_properties`` is a *dict* of
+    named vectors (types.py:78-104) that the writer unwinds into one
+    vector property each (neo4j_queries.py:56-66).  The Spark-idiomatic
+    representation is one ARRAY<FLOAT> **column per name** — a
+    MAP<STRING,ARRAY<FLOAT>> would defeat parquet column pruning, forcing
+    every scan to read *all* vectors when a query probes one.  With
+    per-name columns, ``vector_search(..., embedding_col=name)`` and
+    ``upsert_vectors(..., vec_col=name)`` work unchanged per vector, and a
+    scan for one vector reads only that column.
+
+    Source columns may be top-level or ``properties['x']`` map lookups —
+    pass the expression string accordingly (e.g. ``"text"`` or
+    ``"properties.name"`` via dotted access is NOT supported for maps;
+    use :func:`pyspark.sql.functions.col` semantics: map lookups are
+    written ``properties['name']`` in the spec).
+    """
+    out = df
+    for output_col, text_col in spec.items():
+        out = out.withColumn(
+            output_col, make_embed_udf(batch_fn, dim)(F.expr(text_col))
+        )
+    return out
+
+
 def embed_unique(
     df: DataFrame,
     text_col: str = "text",

@@ -317,17 +317,23 @@ def _resolve_texts(nodes: DataFrame, resolve_properties: list[str]) -> DataFrame
     )
 
 
-def candidate_pairs_lsh(
+def _lsh_candidates_raw(
     texts: DataFrame,
     num_hash_tables: int = 8,
     jaccard_distance: float = 0.7,
 ) -> DataFrame:
-    """Candidate blocking via MinHash-LSH over character 3-grams
-    (pyspark.ml) — the scale replacement for O(n²) combinations (J4).
+    """approxSimilarityJoin output (datasetA/datasetB structs) for
+    :func:`candidate_pairs_lsh` — split out so tests can assert that the
+    blocking itself never produces cross-label candidates.
 
-    Returns (label, id_a, id_b, text_a, text_b) with id_a < id_b; recall is
-    tuned by ``jaccard_distance`` (loose on purpose: the precise scorer
-    runs next).
+    Label-aware blocking: each character 3-gram is prefixed with the
+    node's label (one JVM ``transform`` HOF), so gram sets of
+    different-label texts are DISJOINT — a cross-label homonym pair
+    ("Washington" the Person vs "Washington" the Location) has true
+    Jaccard 0 and is eliminated by the distance filter even when a
+    MinHash table happens to collide.  Same-label pairs see a bijective
+    gram renaming, so their Jaccard (and therefore blocking recall) is
+    exactly what it was without the prefix.
     """
     from pyspark.ml.feature import (
         HashingTF,
@@ -344,7 +350,7 @@ def candidate_pairs_lsh(
         toLowercase=True,
         minTokenLength=1,
     )
-    grams = NGram(n=3, inputCol="chars", outputCol="grams")
+    grams = NGram(n=3, inputCol="chars", outputCol="raw_grams")
     tf = HashingTF(inputCol="grams", outputCol="features", numFeatures=1 << 18)
     lsh = MinHashLSH(
         inputCol="features", outputCol="hashes", numHashTables=num_hash_tables, seed=42
@@ -359,12 +365,33 @@ def candidate_pairs_lsh(
             F.col("norm")
         ),
     )
-    staged = tf.transform(grams.transform(chars.transform(base)))
+    grammed = grams.transform(chars.transform(base)).withColumn(
+        "grams",
+        F.transform("raw_grams", lambda g: F.concat(F.col("label"), F.lit(":"), g)),
+    )
+    staged = tf.transform(grammed)
     staged = staged.where(F.size("grams") > 0)
     model = lsh.fit(staged)
-    joined = model.approxSimilarityJoin(
+    return model.approxSimilarityJoin(
         staged, staged, jaccard_distance, distCol="jaccard_dist"
     )
+
+
+def candidate_pairs_lsh(
+    texts: DataFrame,
+    num_hash_tables: int = 8,
+    jaccard_distance: float = 0.7,
+) -> DataFrame:
+    """Candidate blocking via MinHash-LSH over label-prefixed character
+    3-grams (pyspark.ml) — the scale replacement for O(n²) combinations
+    (J4).  Blocking is label-aware (see :func:`_lsh_candidates_raw`); the
+    label equality predicate below is belt-and-braces, not load-bearing.
+
+    Returns (label, id_a, id_b, text_a, text_b) with id_a < id_b; recall is
+    tuned by ``jaccard_distance`` (loose on purpose: the precise scorer
+    runs next).
+    """
+    joined = _lsh_candidates_raw(texts, num_hash_tables, jaccard_distance)
     return (
         joined.where(
             (F.col("datasetA.label") == F.col("datasetB.label"))

@@ -87,6 +87,214 @@ def extract_schema_from_text(
     )
 
 
+# reference root schema.py:28-29 — the same guards bound what the prompt
+# (and the driver collect) can carry
+LIST_LIMIT = 128
+DISTINCT_VALUE_LIMIT = 10
+
+
+def typed_property_stats(
+    frame: DataFrame,
+    key_col: str = "label",
+    distinct_value_limit: int = DISTINCT_VALUE_LIMIT,
+) -> DataFrame:
+    """Per (key, property): inferred type, exact distinct count, a bounded
+    distinct-value sample and numeric min/max — the DataFrame analog of
+    the reference's apoc.meta-style property introspection
+    (root schema.py:57-131 NODE_PROPERTIES_QUERY / enhance_schema
+    :853-913).
+
+    Properties live in a MAP<STRING,STRING>, so types are *recovered* by
+    try_cast success votes: a property is INTEGER/FLOAT/BOOLEAN/DATE only
+    when EVERY non-null value casts (integers are checked before floats so
+    "42" is INTEGER, "4.2" FLOAT); anything else is STRING.
+
+    Scale shape: one explode → one aggregation for the type votes and
+    ranges; the value sample comes from a DISTINCT on (key, property,
+    value) followed by a per-group row_number truncation — the dedupe
+    happens *before* any collect_list, so no unbounded per-group state is
+    ever built (collect_set over a high-cardinality property would
+    materialize every distinct value per group).  The window and the
+    final groupBy share one hash partitioning on (key, property).
+    """
+    from pyspark.sql import Window
+
+    kv = frame.select(
+        F.col(key_col).alias("key"),
+        F.explode(F.col("properties")).alias("property", "value"),
+    )
+    v = F.col("value")
+    is_long = v.try_cast("bigint").isNotNull()
+    is_double = v.try_cast("double").isNotNull()
+    is_bool = F.lower(v).isin("true", "false")
+    is_date = v.try_cast("date").isNotNull() & ~is_double
+    stats = kv.groupBy("key", "property").agg(
+        F.count("*").alias("n"),
+        F.count(v).alias("n_nonnull"),
+        F.count(F.when(is_long, 1)).alias("n_long"),
+        F.count(F.when(is_double, 1)).alias("n_double"),
+        F.count(F.when(is_bool, 1)).alias("n_bool"),
+        F.count(F.when(is_date, 1)).alias("n_date"),
+        F.min(v.try_cast("double")).alias("min_num"),
+        F.max(v.try_cast("double")).alias("max_num"),
+        F.min(v).alias("min_str"),
+        F.max(v).alias("max_str"),
+    )
+    nn = F.col("n_nonnull")
+    inferred = (
+        F.when(nn == 0, F.lit("STRING"))
+        .when(F.col("n_bool") == nn, F.lit("BOOLEAN"))
+        .when(F.col("n_long") == nn, F.lit("INTEGER"))
+        .when(F.col("n_double") == nn, F.lit("FLOAT"))
+        .when(F.col("n_date") == nn, F.lit("DATE"))
+        .otherwise(F.lit("STRING"))
+    )
+    stats = stats.withColumn("type", inferred)
+
+    w = Window.partitionBy("key", "property")
+    distinct_vals = (
+        kv.where(v.isNotNull())
+        .distinct()
+        .withColumn("rn", F.row_number().over(w.orderBy("value")))
+        .withColumn("distinct_count", F.count("*").over(w))
+    )
+    samples = (
+        distinct_vals.where(F.col("rn") <= distinct_value_limit)
+        .groupBy("key", "property")
+        .agg(
+            F.sort_array(F.collect_list("value")).alias("values"),
+            F.first("distinct_count").alias("distinct_count"),
+        )
+    )
+    return stats.join(samples, ["key", "property"], "left").select(
+        "key",
+        "property",
+        "type",
+        F.coalesce("distinct_count", F.lit(0)).alias("distinct_count"),
+        F.coalesce("values", F.array().cast("array<string>")).alias("values"),
+        "min_num",
+        "max_num",
+        "min_str",
+        "max_str",
+        "n",
+        "n_nonnull",
+    )
+
+
+def get_structured_schema(
+    nodes: DataFrame,
+    edges: DataFrame,
+    distinct_value_limit: int = DISTINCT_VALUE_LIMIT,
+) -> dict[str, Any]:
+    """Driver-side structured schema in the reference's
+    ``get_structured_schema`` shape (root schema.py:228-351):
+
+    .. code:: python
+
+        {"node_props": {"Person": [{"property": "name", "type": "STRING",
+                                    "values": [...], "distinct_count": 7,
+                                    "min": ..., "max": ...}, ...]},
+         "rel_props": {"KNOWS": [...]},
+         "relationships": [{"start": "Person", "type": "KNOWS",
+                            "end": "Person"}],
+         "metadata": {"constraint": [], "index": []}}
+
+    ``metadata`` is empty by design: a DataFrame graph has no Neo4j
+    constraints/indexes to report.  The collect is bounded by
+    (labels × properties × distinct_value_limit) — schema-sized, not
+    data-sized.
+    """
+
+    def to_props(rows) -> dict[str, list[dict[str, Any]]]:
+        out: dict[str, list[dict[str, Any]]] = {}
+        for r in rows:
+            prop: dict[str, Any] = {
+                "property": r["property"],
+                "type": r["type"],
+                "values": list(r["values"] or []),
+                "distinct_count": int(r["distinct_count"]),
+            }
+            if r["type"] in ("INTEGER", "FLOAT") and r["min_num"] is not None:
+                if r["type"] == "INTEGER":
+                    prop["min"] = int(r["min_num"])
+                    prop["max"] = int(r["max_num"])
+                else:
+                    prop["min"] = r["min_num"]
+                    prop["max"] = r["max_num"]
+            elif r["type"] == "DATE" and r["min_str"] is not None:
+                prop["min"] = r["min_str"]
+                prop["max"] = r["max_str"]
+            out.setdefault(r["key"], []).append(prop)
+        for props in out.values():
+            props.sort(key=lambda p: p["property"])
+        return out
+
+    node_rows = typed_property_stats(
+        nodes, "label", distinct_value_limit
+    ).collect()
+    rel_rows = typed_property_stats(edges, "type", distinct_value_limit).collect()
+    patterns = describe_graph(nodes, edges)["patterns"]
+    rels = [
+        {"start": r["start_label"], "type": r["type"], "end": r["end_label"]}
+        for r in patterns.orderBy("start_label", "type", "end_label").collect()
+    ]
+    return {
+        "node_props": to_props(node_rows),
+        "rel_props": to_props(rel_rows),
+        "relationships": rels,
+        "metadata": {"constraint": [], "index": []},
+    }
+
+
+def _format_property(prop: dict[str, Any]) -> str | None:
+    """Reference _format_property (root schema.py:370-400): an example for
+    high-cardinality strings, the full option list for low-cardinality
+    ones, min/max for numerics and dates."""
+    if prop["type"] == "STRING" and prop.get("values"):
+        if prop.get("distinct_count", DISTINCT_VALUE_LIMIT + 1) > DISTINCT_VALUE_LIMIT:
+            return f'Example: "{prop["values"][0]}"'
+        return f"Available options: {list(prop['values'])}"
+    if prop["type"] in ("INTEGER", "FLOAT", "DATE"):
+        if prop.get("min") is not None and prop.get("max") is not None:
+            return f"Min: {prop['min']}, Max: {prop['max']}"
+        return f'Example: "{prop["values"][0]}"' if prop.get("values") else ""
+    return ""
+
+
+def format_schema(schema: dict[str, Any], is_enhanced: bool = False) -> str:
+    """Reference format_schema (root schema.py:458-497): compact
+    ``Label {prop: TYPE, ...}`` lines, or the enhanced markdown form with
+    per-property examples/ranges when ``is_enhanced``."""
+    lines: list[str] = []
+
+    def fmt_props(prop_dict: dict[str, Any]) -> list[str]:
+        out = []
+        if is_enhanced:
+            for label, props in prop_dict.items():
+                out.append(f"- **{label}**")
+                for p in props:
+                    example = _format_property(p)
+                    if example is not None:
+                        suffix = f" {example}" if example else ""
+                        out.append(f"  - `{p['property']}`: {p['type']}{suffix}")
+        else:
+            for label, props in prop_dict.items():
+                inner = ", ".join(f"{p['property']}: {p['type']}" for p in props)
+                out.append(f"{label} {{{inner}}}")
+        return out
+
+    lines.append("Node properties:")
+    lines.extend(fmt_props(schema["node_props"]))
+    lines.append("Relationship properties:")
+    lines.extend(fmt_props(schema["rel_props"]))
+    lines.append("The relationships:")
+    lines.extend(
+        f"(:{el['start']})-[:{el['type']}]->(:{el['end']})"
+        for el in schema["relationships"]
+    )
+    return "\n".join(lines)
+
+
 def describe_graph(
     nodes: DataFrame,
     edges: DataFrame,

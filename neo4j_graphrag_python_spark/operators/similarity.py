@@ -50,15 +50,35 @@ def topk_bruteforce(
 
 
 def _hyperplane_signs(vec: Column, planes: list[list[float]]) -> Column:
-    """Sign bits of <v, h_i> packed into a bigint bucket id."""
-    bucket = F.lit(0).cast("long")
-    for i, h in enumerate(planes):
-        hcol = F.array(*[F.lit(float(x)) for x in h])
-        dot = F.aggregate(
-            F.zip_with(vec, hcol, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x
-        )
-        bucket = bucket + F.when(dot >= 0, F.lit(1 << i)).otherwise(F.lit(0))
-    return bucket
+    """Sign bits of <v, h_i> packed into a bigint bucket id.
+
+    The plane matrix is emitted as ONE SQL array-literal expression
+    (``F.expr``) instead of m×dim individual ``F.lit`` calls: every lit is
+    a py4j driver roundtrip, and at multi-table LSH sizes (L·m·dim ≈ 10⁵
+    literals) per-literal construction burned MINUTES of driver CPU just
+    building the plan.  ``%.17e`` round-trips float64 exactly, and
+    exponent-form literals parse as DOUBLE in Spark SQL (plain decimals
+    would parse as DECIMAL).
+    """
+    rows = ",".join(
+        "array(" + ",".join(f"{float(x):.17e}" for x in h) + ")" for h in planes
+    )
+    mat = F.expr(f"array({rows})")
+    dots = F.transform(
+        mat,
+        lambda h: F.aggregate(
+            F.zip_with(vec, h, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x
+        ),
+    )
+    # 2^i via pow (shiftleft needs a literal bit count): exact in double
+    # for i ≤ 52, and plane counts are capped at 32
+    signed = F.transform(
+        dots,
+        lambda d, i: F.when(
+            d >= 0, F.pow(F.lit(2.0), i).cast("long")
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    return F.aggregate(signed, F.lit(0).cast("long"), lambda s, x: s + x)
 
 
 def build_ann_index(
@@ -146,18 +166,25 @@ def upsert_vectors(
     Spark-first: a left join + coalesce — rows in ``vectors`` win, others
     keep their current embedding.  ``vectors``: (id, embedding).  The
     vector set is usually the small side (new/updated embeddings), so it
-    broadcasts; output schema equals the node schema.
+    broadcasts; output schema equals the node schema (plus ``vec_col``
+    when the nodes didn't have one — the reference attaches the property
+    to nodes that lack it, indexes.py:251).
     """
     v = vectors.select(
         F.col(id_col).alias("_vid"),
         F.col(vec_col).cast("array<float>").alias("_vemb"),
     )
-    out_cols = nodes.columns
-    return (
-        nodes.join(F.broadcast(v), nodes[id_col] == F.col("_vid"), "left")
-        .withColumn(vec_col, F.coalesce(F.col("_vemb"), F.col(vec_col)))
-        .select(*out_cols)
-    )
+    joined = nodes.join(F.broadcast(v), nodes[id_col] == F.col("_vid"), "left")
+    if vec_col in nodes.columns:
+        out_cols = nodes.columns
+        joined = joined.withColumn(
+            vec_col, F.coalesce(F.col("_vemb"), nodes[vec_col])
+        )
+    else:
+        # generic attach case: the node frame has no embedding column yet
+        out_cols = [*nodes.columns, vec_col]
+        joined = joined.withColumn(vec_col, F.col("_vemb"))
+    return joined.select(*out_cols)
 
 
 def topk_multi_query(

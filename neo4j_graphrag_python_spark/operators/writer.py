@@ -67,6 +67,41 @@ def dedupe_edges(
     )
 
 
+def split_named_embeddings(
+    df: DataFrame,
+    map_col: str = "embedding_properties",
+    names: list[str] | None = None,
+) -> DataFrame:
+    """Reference-shaped multi-vector ingest: unwind a
+    MAP<STRING,ARRAY<FLOAT>> of named embeddings into one ARRAY<FLOAT>
+    column per name, then drop the map.
+
+    This is the Spark analog of the writer's
+    ``UNWIND keys(row.embedding_properties) … setNodeVectorProperty``
+    (reference neo4j_queries.py:56-66; Neo4jNode.embedding_properties,
+    types.py:78-104): per-name columns keep each vector independently
+    prunable at the parquet scan, so probing one named vector never reads
+    the others.  Rows without a given name get NULL.
+
+    ``names``: the vector property names to materialize.  When omitted
+    they are discovered with one distinct map_keys pass — bounded by the
+    schema (number of DISTINCT property names), not the data.
+    """
+    if names is None:
+        names = sorted(
+            r["k"]
+            for r in df.select(
+                F.explode(F.map_keys(F.col(map_col))).alias("k")
+            )
+            .distinct()
+            .collect()
+        )
+    out = df
+    for name in names:
+        out = out.withColumn(name, F.col(map_col).getItem(name))
+    return out.drop(map_col)
+
+
 def write_table(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).parquet(path)
 

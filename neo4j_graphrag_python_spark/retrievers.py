@@ -88,11 +88,10 @@ def build_fulltext_index(
     (lowercase, whitespace analysis), explode to one row per (doc, term),
     aggregate term frequency.
 
-    At scale, persist with ``.write.bucketBy(n, "term")`` (or
-    partitionBy a term prefix) so searches join co-located buckets and
-    scan only matching terms — the scan-based :func:`fulltext_search`
-    reads every node row per query, which is the wrong shape past
-    small data.
+    At scale, persist with :func:`write_fulltext_index_bucketed` so a
+    search scans only the buckets holding its query terms (bucket
+    pruning) — the scan-based :func:`fulltext_search` reads every node
+    row per query, which is the wrong shape past small data.
     """
     prop = F.lower(
         F.coalesce(F.col("properties").getItem(text_property), F.lit(""))
@@ -125,6 +124,48 @@ def fulltext_search_indexed(
     return (
         index.join(F.broadcast(q), "term")
         .groupBy("id")
+        .agg(F.count_distinct("term").cast("double").alias("score"))
+        .orderBy(F.desc("score"), "id")
+        .limit(top_k)
+    )
+
+
+def write_fulltext_index_bucketed(
+    index: DataFrame, table_name: str, num_buckets: int = 64
+) -> None:
+    """Persist a :func:`build_fulltext_index` postings table bucketed and
+    sorted by term — the durable form of the reference's Lucene fulltext
+    index (indexes.py:126 create_fulltext_index).
+
+    Bucketing by term means a query's ``term IN (...)`` predicate prunes
+    to the handful of buckets that can contain those terms
+    (``SelectedBucketsCount: k out of num_buckets`` in the scan node —
+    asserted in tests), and the within-bucket sort makes the term lookup
+    a sorted-run scan.  ``bucketBy`` requires a managed table
+    (``saveAsTable``); size num_buckets so one bucket ≈ one task's worth
+    of postings at the target corpus.
+    """
+    (
+        index.write.mode("overwrite")
+        .bucketBy(num_buckets, "term")
+        .sortBy("term")
+        .format("parquet")
+        .saveAsTable(table_name)
+    )
+
+
+def fulltext_search_bucketed(
+    spark, table_name: str, query_text: str, top_k: int = 5
+) -> DataFrame:
+    """Search a bucketed postings table: the query terms become an IN
+    filter (reaches the scan → bucket pruning), then the same
+    distinct-term-count scoring as :func:`fulltext_search_indexed`."""
+    terms = sorted({t for t in query_text.lower().split() if t})
+    if not terms:
+        raise ValueError("empty query")
+    postings = spark.table(table_name).where(F.col("term").isin(terms))
+    return (
+        postings.groupBy("id")
         .agg(F.count_distinct("term").cast("double").alias("score"))
         .orderBy(F.desc("score"), "id")
         .limit(top_k)

@@ -71,42 +71,21 @@ def extract_sql(text: str) -> str:
 
 
 def render_graph_schema(
-    nodes: DataFrame, edges: DataFrame, max_properties: int = 20
+    nodes: DataFrame, edges: DataFrame, is_enhanced: bool = True
 ) -> str:
     """Serialize the observed graph shape in the reference's get_schema
-    text format (Node properties / The relationships), plus the Spark view
-    contract the generated SQL must target."""
+    text format (root schema.py:183-231 / format_schema:458-497) with
+    INFERRED property types, value samples and numeric ranges (enhanced
+    form, reference enhance_schema:853-913) — not STRING-everywhere —
+    plus the Spark view contract the generated SQL must target."""
     from neo4j_graphrag_python_spark.operators.schema_inference import (
-        describe_graph,
+        format_schema,
+        get_structured_schema,
     )
 
-    desc = describe_graph(nodes, edges)
-    prop_rows = (
-        desc["node_properties"]
-        .orderBy("label", "property")
-        .limit(1000)
-        .collect()
-    )
-    props_by_label: dict[str, list[str]] = {}
-    for r in prop_rows:
-        props_by_label.setdefault(r["label"], [])
-        if len(props_by_label[r["label"]]) < max_properties:
-            props_by_label[r["label"]].append(f"{r['property']}: STRING")
-    node_lines = [
-        f"{label} {{{', '.join(ps)}}}" for label, ps in sorted(props_by_label.items())
-    ]
-    pattern_rows = (
-        desc["patterns"].orderBy("start_label", "type", "end_label").collect()
-    )
-    rel_lines = [
-        f"(:{r['start_label']})-[:{r['type']}]->(:{r['end_label']})"
-        for r in pattern_rows
-    ]
+    schema = get_structured_schema(nodes, edges)
     return (
-        "Node properties:\n"
-        + "\n".join(node_lines)
-        + "\nThe relationships:\n"
-        + "\n".join(rel_lines)
+        format_schema(schema, is_enhanced=is_enhanced)
         + "\n\nSQL views:\n"
         + f"{NODES_VIEW}(id STRING, label STRING, properties MAP<STRING,STRING>,"
         " is_entity BOOLEAN)\n"

@@ -43,6 +43,31 @@ def normalize(df):
     return cols, out
 
 
+def dtype_mismatches(spark_pdf, duck_pdf):
+    """Integer-vs-float dtype drift between engines.
+
+    The driver's value hash is dtype-sensitive: a Spark BIGINT column and a
+    DuckDB column that materializes as float64 (e.g. ``sum(BIGINT)`` →
+    HUGEINT → float64 in pandas) hash differently even when every value is
+    numerically equal.  This bit us twice (events_sessionize r1,
+    corpus_stats_rollup r2), so flag any column where one side is an integer
+    dtype and the other is floating — the fix is a ``CAST(... AS BIGINT)``
+    in the oracle SQL (or an explicit cast on the Spark side).
+    """
+    import pandas.api.types as ptypes
+
+    bad = []
+    for c in set(spark_pdf.columns) & set(duck_pdf.columns):
+        s, d = spark_pdf[c].dtype, duck_pdf[c].dtype
+        s_int = ptypes.is_integer_dtype(s)
+        d_int = ptypes.is_integer_dtype(d)
+        s_flt = ptypes.is_float_dtype(s)
+        d_flt = ptypes.is_float_dtype(d)
+        if (s_int and d_flt) or (s_flt and d_int):
+            bad.append(f"{c}: spark={s} oracle={d}")
+    return bad
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -71,10 +96,13 @@ def main() -> int:
         ok_cols = sc == dc
         ok_rows = len(sv) == len(dv)
         ok_vals = sv == dv
-        status = "OK " if (ok_cols and ok_rows and ok_vals) else "FAIL"
+        bad_dtypes = dtype_mismatches(spark_pdf, duck_pdf)
+        ok_dtypes = not bad_dtypes
+        status = "OK " if (ok_cols and ok_rows and ok_vals and ok_dtypes) else "FAIL"
         print(
             f"{name:28s} {status} rows={len(sv)}/{len(dv)} cols={'=' if ok_cols else f'{sc} vs {dc}'}"
             + ("" if ok_vals else " VALUES-DIFFER")
+            + ("" if ok_dtypes else f" DTYPE-DRIFT {bad_dtypes}")
         )
         if status == "FAIL":
             failures.append(name)

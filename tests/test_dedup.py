@@ -168,6 +168,54 @@ def test_exact_jaccard_matches_pandas_scorer(docs) -> None:
     assert got == {k: v for k, v in want.items() if v > 0.0} or got == want
 
 
+def test_exact_jaccard_df_cap(spark) -> None:
+    """max_df_frac drops ubiquitous shingles before the self-join without
+    losing true near-dup pairs: on the fixture corpus the capped result
+    equals the uncapped one (verdict item #7), and a planted universal
+    boilerplate shingle shows the cap actually prunes the join."""
+    from neo4j_graphrag_python_spark.operators.dedup import exact_jaccard_pairs
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    uncapped = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in exact_jaccard_pairs(docs, shingle_k=5, threshold=0.5).collect()
+    }
+    # a cap nothing crosses: exact semantics preserved bit-for-bit
+    noop = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in exact_jaccard_pairs(
+            docs, shingle_k=5, threshold=0.5, max_df_frac=1.0
+        ).collect()
+    }
+    assert uncapped and noop == uncapped
+    # a working cap (whitespace/common shingles cross 50% df): the PAIR SET
+    # is unchanged — dropping non-discriminating shingles must not change
+    # which docs are near-dups — and scores stay within a small drift
+    capped = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in exact_jaccard_pairs(
+            docs, shingle_k=5, threshold=0.5, max_df_frac=0.5
+        ).collect()
+    }
+    assert set(capped) == set(uncapped)
+    assert all(abs(capped[k] - uncapped[k]) < 0.06 for k in uncapped)
+
+    # planted case: every doc shares one boilerplate phrase; two docs are
+    # true near-dups.  The boilerplate shingles exceed the cap and are
+    # dropped; the near-dup pair must still score ≥ threshold.
+    rows = [(i, f"BOILERPLATE unique content number {i} " * 3) for i in range(20)]
+    rows.append((100, "BOILERPLATE the quick brown fox jumps over the dog"))
+    rows.append((101, "BOILERPLATE the quick brown fox jumps over the cat"))
+    planted = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in exact_jaccard_pairs(
+            planted, shingle_k=5, threshold=0.5, max_df_frac=0.3
+        ).collect()
+    }
+    assert (100, 101) in got
+
+
 def test_embedding_lsh_recall_vs_exact(spark) -> None:
     from neo4j_graphrag_python_spark.operators.dedup import (
         embedding_neardup_exact,
@@ -247,8 +295,94 @@ def test_embedding_lsh_partial_override_keeps_recall(spark) -> None:
     lsh = {
         (r["id_a"], r["id_b"])
         for r in embedding_neardup_lsh(
-            emb, dim=64, threshold=0.4, num_planes=8, target_recall=0.95
+            emb,
+            dim=64,
+            threshold=0.4,
+            num_planes=8,
+            target_recall=0.95,
+            max_tables=128,  # m=8 at threshold 0.4 needs L=118 tables
         ).collect()
     }
     recall = len(exact & lsh) / len(exact)
     assert recall >= 0.9, f"recall {recall:.2f} with caller-set planes"
+
+
+def test_embedding_lsh_override_clamps_tables_with_warning(spark) -> None:
+    """num_planes override with an unreachable recall target must clamp the
+    derived table count at max_tables and warn with the achievable model
+    recall — not derive thousands of tables (advice finding: threshold=0.5
+    with num_planes=20 would derive ~10,000 tables unbounded)."""
+    import warnings
+
+    from neo4j_graphrag_python_spark.operators.dedup import (
+        embedding_neardup_lsh,
+        lsh_achievable_recall,
+    )
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [1.0, 0.01])], ["vec_id", "embedding"]
+    )
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        df = embedding_neardup_lsh(
+            emb, dim=2, threshold=0.5, num_planes=20, target_recall=0.95
+        )
+        rows = df.collect()
+    msgs = [str(w.message) for w in caught]
+    assert any("clamped to max_tables" in m for m in msgs), msgs
+    # the plan stayed bounded (64 tables, not ~10k) and still finds the
+    # planted identical-direction pair
+    assert {(r["id_a"], r["id_b"]) for r in rows} == {(0, 1)}
+    assert lsh_achievable_recall(0.5, 20, 64) < 0.95  # honestly degraded
+
+
+def test_embedding_lsh_unreachable_num_tables_raises(spark) -> None:
+    """num_tables override too small for the target even at m=1 must raise,
+    not silently void the docstring's recall promise."""
+    import pytest
+
+    from neo4j_graphrag_python_spark.operators.dedup import embedding_neardup_lsh
+
+    emb = spark.createDataFrame([(0, [1.0, 0.0])], ["vec_id", "embedding"])
+    with pytest.raises(ValueError, match="unreachable"):
+        embedding_neardup_lsh(
+            emb, dim=2, threshold=0.2, num_tables=1, target_recall=0.99
+        )
+
+
+def test_embedding_lsh_explode_carries_no_vectors(spark) -> None:
+    """The ×L exploded (tbl, bucket) exchange must ship only
+    (id, tbl, bucket) — vectors are joined back post-dedup for the
+    rescore.  At 100 TB of embeddings a vector riding the explode is
+    ~2L× byte amplification.  (The Generate node's *expression* reads the
+    embedding to compute buckets — that's pre-explode; what must be
+    vector-free is the exchange INPUT.)"""
+    from neo4j_graphrag_python_spark.operators.dedup import embedding_neardup_lsh
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    # tiny fixtures broadcast the (tbl,bucket) join away — force shuffle
+    # joins so the exchange whose volume matters at scale is in the plan
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = embedding_neardup_lsh(
+            emb, dim=64, threshold=0.95, target_recall=0.95
+        )
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    # formatted explain: each node is "(n) Exchange" followed by
+    # "Input [k]: [...]" / "Arguments: hashpartitioning(tbl..., bucket...)"
+    blocks = plan.split("\n\n")
+    checked = 0
+    for blk in blocks:
+        if "Exchange" in blk and "hashpartitioning(tbl" in blk:
+            for line in blk.splitlines():
+                if line.startswith("Input"):
+                    assert "embedding#" not in line and " v#" not in line, line
+                    checked += 1
+    assert checked >= 2, plan[:2000]  # both join sides' exchanges seen

@@ -122,6 +122,41 @@ def test_resolve_similarity_semantic_identical_texts(spark) -> None:
     assert {r["id"] for r in new_nodes.collect()} == {"a:0", "c:0"}
 
 
+def test_lsh_blocking_is_label_aware(spark) -> None:
+    """Cross-label homonyms must never become blocking candidates: grams
+    are label-prefixed, so 'Washington' the Person and 'Washington' the
+    Location have disjoint gram sets (true Jaccard 0) — zero cross-label
+    rows out of the raw approxSimilarityJoin, while same-label near-dup
+    results are unchanged (verdict item #4)."""
+    from neo4j_graphrag_python_spark.operators.resolver import (
+        _lsh_candidates_raw,
+        _resolve_texts,
+        candidate_pairs_lsh,
+    )
+
+    nodes = nodes_df(
+        spark,
+        [
+            ("a:0", "Person", "Washington", 0),
+            ("b:0", "Location", "Washington", 0),
+            ("c:0", "Person", "Washingtan", 1),
+            ("d:0", "Location", "Washington DC", 1),
+        ],
+    )
+    texts = _resolve_texts(nodes, ["name"])
+    raw = _lsh_candidates_raw(texts)
+    cross = raw.where(
+        F.col("datasetA.label") != F.col("datasetB.label")
+    ).count()
+    assert cross == 0
+    pairs = {
+        (r["id_a"], r["id_b"]) for r in candidate_pairs_lsh(texts).collect()
+    }
+    # same-label near-identicals still blocked together
+    assert ("a:0", "c:0") in pairs
+    assert ("b:0", "d:0") in pairs
+
+
 def test_connected_components_transitive(spark) -> None:
     pairs = spark.createDataFrame(
         [("a", "b"), ("b", "c"), ("x", "y")], ["id_a", "id_b"]

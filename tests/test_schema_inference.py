@@ -63,6 +63,97 @@ def test_schema_prompt_includes_text() -> None:
     assert "UNIQUE_SAMPLE_TEXT" in seen["prompt"] and "EX" in seen["prompt"]
 
 
+def test_get_structured_schema_types_and_samples(spark) -> None:
+    """Mirrors reference tests for get_structured_schema/enhance_schema
+    (root schema.py:228-351, 853-913): inferred property types, exact
+    distinct counts, bounded value samples, numeric min/max — recovered
+    from the MAP<STRING,STRING> property bags by try_cast votes."""
+    from neo4j_graphrag_python_spark.operators.schema_inference import (
+        get_structured_schema,
+    )
+
+    rows = []
+    for i in range(12):
+        rows.append(
+            (
+                f"p{i}",
+                "Person",
+                True,
+                {
+                    "name": f"Name{i:02d}",
+                    "age": str(20 + i),
+                    "score": f"{i}.5",
+                    "active": "true" if i % 2 else "false",
+                    "joined": f"2024-01-{i + 1:02d}",
+                },
+                None,
+                "c",
+                "u",
+            )
+        )
+    rows.append(("o1", "Organization", True, {"name": "Acme"}, None, "c", "u"))
+    nodes = spark.createDataFrame(rows, NODES_SCHEMA)
+    edges = spark.createDataFrame(
+        [("p1", "o1", "WORKS_FOR", {"since": "2020"}, "c", "u")], EDGES_SCHEMA
+    )
+    s = get_structured_schema(nodes, edges)
+    person = {p["property"]: p for p in s["node_props"]["Person"]}
+    assert person["age"]["type"] == "INTEGER"
+    assert person["age"]["min"] == 20 and person["age"]["max"] == 31
+    assert person["score"]["type"] == "FLOAT"
+    assert person["score"]["min"] == 0.5 and person["score"]["max"] == 11.5
+    assert person["active"]["type"] == "BOOLEAN"
+    assert person["joined"]["type"] == "DATE"
+    assert person["joined"]["min"] == "2024-01-01"
+    assert person["name"]["type"] == "STRING"
+    # 12 distinct names > DISTINCT_VALUE_LIMIT → sample bounded at limit
+    assert person["name"]["distinct_count"] == 12
+    assert len(person["name"]["values"]) == 10
+    org = {p["property"]: p for p in s["node_props"]["Organization"]}
+    assert org["name"]["values"] == ["Acme"] and org["name"]["distinct_count"] == 1
+    since = {p["property"]: p for p in s["rel_props"]["WORKS_FOR"]}
+    assert since["since"]["type"] == "INTEGER"
+    assert s["relationships"] == [
+        {"start": "Person", "type": "WORKS_FOR", "end": "Organization"}
+    ]
+    assert s["metadata"] == {"constraint": [], "index": []}
+
+
+def test_format_schema_enhanced_and_compact(spark) -> None:
+    from neo4j_graphrag_python_spark.operators.schema_inference import (
+        format_schema,
+    )
+
+    schema = {
+        "node_props": {
+            "Person": [
+                {
+                    "property": "age",
+                    "type": "INTEGER",
+                    "values": ["20", "21"],
+                    "distinct_count": 2,
+                    "min": 20,
+                    "max": 21,
+                },
+                {
+                    "property": "bio",
+                    "type": "STRING",
+                    "values": ["long text …"],
+                    "distinct_count": 11,
+                },
+            ]
+        },
+        "rel_props": {},
+        "relationships": [{"start": "Person", "type": "KNOWS", "end": "Person"}],
+    }
+    enhanced = format_schema(schema, is_enhanced=True)
+    assert "- `age`: INTEGER Min: 20, Max: 21" in enhanced
+    assert '- `bio`: STRING Example: "long text …"' in enhanced
+    compact = format_schema(schema, is_enhanced=False)
+    assert "Person {age: INTEGER, bio: STRING}" in compact
+    assert "(:Person)-[:KNOWS]->(:Person)" in compact
+
+
 def test_describe_graph(spark) -> None:
     nodes = spark.createDataFrame(
         [

@@ -135,6 +135,38 @@ def test_fulltext_indexed_matches_scan(entity_nodes) -> None:
         fulltext_search_indexed(index, "   ")
 
 
+def test_fulltext_bucketed_prunes_buckets(spark, entity_nodes) -> None:
+    """bucketBy(term) postings table: the term IN (...) filter prunes to
+    the buckets holding the query terms (SelectedBucketsCount in the scan)
+    and results equal the broadcast-join index path."""
+    from neo4j_graphrag_python_spark.retrievers import (
+        build_fulltext_index,
+        fulltext_search_bucketed,
+        fulltext_search_indexed,
+        write_fulltext_index_bucketed,
+    )
+
+    index = build_fulltext_index(entity_nodes)
+    table = "ft_postings_test"
+    write_fulltext_index_bucketed(index, table, num_buckets=8)
+    try:
+        for q in ("alice smith", "acme", "bob alice"):
+            idx = [(r["id"], r["score"]) for r in
+                   fulltext_search_indexed(index, q, top_k=4).collect()]
+            bkt = [(r["id"], r["score"]) for r in
+                   fulltext_search_bucketed(spark, table, q, top_k=4).collect()]
+            assert bkt == idx, q
+        res = fulltext_search_bucketed(spark, table, "alice")
+        plan = res._jdf.queryExecution().executedPlan().toString()
+        assert "SelectedBucketsCount" in plan, plan
+        import re
+
+        m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+        assert m and int(m.group(1)) < int(m.group(2))
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
 @pytest.fixture(scope="module")
 def textdocs(spark):
     return spark.createDataFrame(
@@ -261,3 +293,88 @@ def test_upsert_vectors(spark) -> None:
     assert out["b"]["embedding"] == [0.5, 0.5]
     assert out["a"]["embedding"] == [1.0, 0.0]
     assert set(out["a"].asDict()) == {c for c in nodes.columns}
+
+
+def test_multi_vector_named_embeddings_end_to_end(spark) -> None:
+    """embedding_properties parity (reference types.py:78-104 /
+    neo4j_queries.py:56-66): nodes carry MULTIPLE named vectors as
+    per-name columns; embed, search and upsert each by property name."""
+    from neo4j_graphrag_python_spark.operators.embedder import (
+        embed_named_columns,
+    )
+    from neo4j_graphrag_python_spark.operators.similarity import upsert_vectors
+    from neo4j_graphrag_python_spark.retrievers import vector_search
+
+    nodes = spark.createDataFrame(
+        [
+            ("n1", {"name": "alpha", "description": "zzz unrelated"}),
+            ("n2", {"name": "beta", "description": "alpha"}),
+        ],
+        "id string, properties map<string,string>",
+    )
+    embedded = embed_named_columns(
+        nodes,
+        {
+            "name_embedding": "properties['name']",
+            "desc_embedding": "properties['description']",
+        },
+    ).cache()
+    assert {"name_embedding", "desc_embedding"} <= set(embedded.columns)
+    by_name = vector_search(
+        embedded, query_text="alpha", top_k=1, embedding_col="name_embedding"
+    ).collect()
+    assert by_name[0]["id"] == "n1" and by_name[0]["score"] > 0.999
+    by_desc = vector_search(
+        embedded, query_text="alpha", top_k=1, embedding_col="desc_embedding"
+    ).collect()
+    assert by_desc[0]["id"] == "n2" and by_desc[0]["score"] > 0.999
+    # per-name upsert: replace ONE named vector, the other is untouched
+    new_vecs = spark.createDataFrame(
+        [("n1", [0.0] * 64)], "id string, name_embedding array<float>"
+    )
+    up = {
+        r["id"]: r
+        for r in upsert_vectors(
+            embedded, new_vecs, vec_col="name_embedding"
+        ).collect()
+    }
+    assert up["n1"]["name_embedding"] == [0.0] * 64
+    assert up["n1"]["desc_embedding"] is not None
+    assert up["n2"]["name_embedding"] is not None
+    embedded.unpersist()
+
+
+def test_split_named_embeddings_from_map(spark) -> None:
+    """Reference-shaped ingest: a MAP<STRING,ARRAY<FLOAT>> of named
+    embeddings unwinds to one prunable column per name (kg_writer
+    UNWIND-keys analog); absent names become NULL."""
+    from neo4j_graphrag_python_spark.operators.writer import (
+        split_named_embeddings,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("a", {"name_vec": [1.0, 0.0], "desc_vec": [0.0, 1.0]}),
+            ("b", {"name_vec": [0.5, 0.5]}),
+        ],
+        "id string, embedding_properties map<string,array<float>>",
+    )
+    out = {r["id"]: r for r in split_named_embeddings(df).collect()}
+    assert out["a"]["name_vec"] == [1.0, 0.0]
+    assert out["a"]["desc_vec"] == [0.0, 1.0]
+    assert out["b"]["desc_vec"] is None
+    assert "embedding_properties" not in split_named_embeddings(df).columns
+
+
+def test_upsert_vectors_attaches_missing_column(spark) -> None:
+    """Reference upsert_vectors (indexes.py:251) attaches the embedding
+    property to nodes that don't yet have one — a node frame WITHOUT the
+    vector column must gain it (advice finding)."""
+    from neo4j_graphrag_python_spark.operators.similarity import upsert_vectors
+
+    nodes = spark.createDataFrame([("a", "A"), ("b", "B")], ["id", "name"])
+    vecs = spark.createDataFrame([("b", [0.5, 0.5])], ["id", "embedding"])
+    out = {r["id"]: r for r in upsert_vectors(nodes, vecs).collect()}
+    assert out["b"]["embedding"] == [0.5, 0.5]
+    assert out["a"]["embedding"] is None
+    assert list(out["a"].asDict()) == ["id", "name", "embedding"]

@@ -71,9 +71,18 @@ def test_template_includes_schema_examples_and_query() -> None:
 def test_render_graph_schema(graph) -> None:
     nodes, edges = graph
     s = render_graph_schema(nodes, edges)
-    assert "Person {name: STRING}" in s
+    # enhanced format (reference format_schema is_enhanced): typed
+    # properties with value samples, not STRING-everywhere
+    assert "- **Person**" in s
+    assert "- `name`: STRING Available options: ['Alice', 'Bob']" in s
     assert "(:Person)-[:WORKS_FOR]->(:Company)" in s
     assert NODES_VIEW in s and EDGES_VIEW in s
+
+
+def test_render_graph_schema_compact(graph) -> None:
+    nodes, edges = graph
+    s = render_graph_schema(nodes, edges, is_enhanced=False)
+    assert "Person {name: STRING}" in s
 
 
 def test_happy_path(spark, graph) -> None:
