@@ -1,0 +1,166 @@
+"""HTTP LLM / embedding clients for the pluggable model slots (E1–E7).
+
+The reference ships seven HTTP clients (llm/openai_llm.py,
+anthropic_llm.py, …, embeddings/*), all reducing to the same two
+contracts: ``LLMInterface.invoke(input) -> LLMResponse(content=str)``
+(llm/base.py:28-88) and ``Embedder.embed_query(text) -> list[float]``
+(embeddings/base.py:20-34).  This module provides ONE stdlib-only client
+speaking the OpenAI-compatible wire protocol — ``POST
+{base_url}/chat/completions`` and ``POST {base_url}/embeddings`` — which
+today is the lingua franca served by most hosted and self-hosted model
+gateways, so a single client covers the practical surface of the seven.
+
+Spark-first design points:
+
+* **Picklable by construction** — the client is a small dataclass of
+  strings/numbers, so it ships inside ``mapInPandas`` closures to
+  executors (the reference clients hold live SDK sessions; here each
+  executor worker opens its own connections lazily).
+* **Batched at the Arrow-batch boundary** — ``complete_batch`` fans a
+  batch's prompts over a bounded thread pool (HTTP latency dominates;
+  threads overlap it), ``embed_batch`` uses the natively-batched
+  embeddings endpoint.  These plug directly into the existing slots:
+  ``llm_extractor(client.complete_batch)``,
+  ``embed_column(..., batch_fn=client.embed_batch)``,
+  ``Text2SqlRetriever(spark, client.complete)``.
+* **Bounded retries** with exponential backoff on 429/5xx/URLError —
+  transient rate limits must not fail a 10^5-task stage.
+
+No third-party SDK is imported; everything is ``urllib``.  Tests run
+against a local ``http.server`` fake speaking the same protocol.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import urllib.error
+import urllib.request
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass, field
+
+
+class LLMGenerationError(RuntimeError):
+    """Analog of the reference's LLMGenerationError (exceptions.py):
+    raised when the endpoint keeps failing after retries or returns a
+    malformed payload."""
+
+
+_RETRYABLE = {429, 500, 502, 503, 504}
+
+
+@dataclass
+class OpenAICompatClient:
+    """Minimal OpenAI-protocol client (chat completions + embeddings).
+
+    ``api_key`` falls back to the environment variable named by
+    ``api_key_env`` at CALL time (so executors resolve their own env,
+    and no secret is baked into pickled closures).
+    """
+
+    base_url: str
+    model: str = "gpt-4o-mini"
+    embedding_model: str = "text-embedding-3-small"
+    api_key: str | None = None
+    api_key_env: str = "OPENAI_API_KEY"
+    timeout: float = 60.0
+    max_retries: int = 4
+    backoff: float = 0.5
+    max_concurrency: int = 8
+    system_instruction: str | None = None
+    extra_params: dict = field(default_factory=dict)
+
+    # -- wire ------------------------------------------------------------
+
+    def _post(self, path: str, payload: dict) -> dict:
+        url = self.base_url.rstrip("/") + path
+        body = json.dumps(payload).encode("utf-8")
+        key = self.api_key or os.environ.get(self.api_key_env, "")
+        headers = {"Content-Type": "application/json"}
+        if key:
+            headers["Authorization"] = f"Bearer {key}"
+        last_err: Exception | None = None
+        for attempt in range(self.max_retries + 1):
+            req = urllib.request.Request(
+                url, data=body, headers=headers, method="POST"
+            )
+            try:
+                with urllib.request.urlopen(req, timeout=self.timeout) as r:
+                    return json.loads(r.read().decode("utf-8"))
+            except urllib.error.HTTPError as e:
+                last_err = e
+                if e.code not in _RETRYABLE:
+                    raise LLMGenerationError(
+                        f"{url} returned {e.code}: {e.read()[:500]!r}"
+                    ) from e
+            except (urllib.error.URLError, TimeoutError, OSError) as e:
+                last_err = e
+            if attempt < self.max_retries:
+                time.sleep(self.backoff * (2**attempt))
+        raise LLMGenerationError(
+            f"{url} failed after {self.max_retries + 1} attempts: {last_err}"
+        ) from last_err
+
+    # -- LLMInterface.invoke analog ---------------------------------------
+
+    def complete(self, prompt: str) -> str:
+        """One prompt → the assistant message content (reference
+        LLMInterface.invoke → LLMResponse.content)."""
+        messages = []
+        if self.system_instruction:
+            messages.append(
+                {"role": "system", "content": self.system_instruction}
+            )
+        messages.append({"role": "user", "content": prompt})
+        out = self._post(
+            "/chat/completions",
+            {"model": self.model, "messages": messages, **self.extra_params},
+        )
+        try:
+            return out["choices"][0]["message"]["content"]
+        except (KeyError, IndexError, TypeError) as e:
+            raise LLMGenerationError(f"malformed completion payload: {out}") from e
+
+    def complete_batch(self, prompts: list[str]) -> list[str]:
+        """Arrow-batch fan-out over a bounded thread pool — the
+        ``llm_batch_fn`` shape ``llm_extractor`` consumes.  Order
+        preserved; one failed prompt fails the batch (the extractor's
+        OnError handling decides what that means for the task)."""
+        if not prompts:
+            return []
+        workers = max(1, min(self.max_concurrency, len(prompts)))
+        if workers == 1:
+            return [self.complete(p) for p in prompts]
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            return list(pool.map(self.complete, prompts))
+
+    # -- Embedder analog ---------------------------------------------------
+
+    def embed_batch(self, texts: list[str]):
+        """Natively-batched embeddings call — the ``BatchEmbedFn`` shape
+        for ``embed_column``/``embed_unique``.  Returns a 2-D float32
+        ndarray aligned with the input order (the endpoint's ``index``
+        field is honored, not assumed)."""
+        import numpy as np
+
+        if not texts:
+            return np.zeros((0, 0), dtype=np.float32)
+        out = self._post(
+            "/embeddings",
+            {"model": self.embedding_model, "input": list(texts)},
+        )
+        try:
+            rows = sorted(out["data"], key=lambda d: d["index"])
+            mat = np.asarray([r["embedding"] for r in rows], dtype=np.float32)
+        except (KeyError, TypeError) as e:
+            raise LLMGenerationError(f"malformed embeddings payload: {out}") from e
+        if mat.shape[0] != len(texts):
+            raise LLMGenerationError(
+                f"embeddings count mismatch: sent {len(texts)}, got {mat.shape[0]}"
+            )
+        return mat
+
+    def embed_query(self, text: str) -> list[float]:
+        """Reference Embedder.embed_query parity (embeddings/base.py:27)."""
+        return self.embed_batch([text])[0].tolist()

@@ -90,3 +90,91 @@ def split_fixed_size(
     if num_partitions:
         src = src.repartition(num_partitions, "conv_id")
     return src.mapInPandas(split_batches, schema=CHUNKS_FIELDS)
+
+
+def adapt_text_splitter(splitter):
+    """P2 — LangChain / LlamaIndex splitter adapters (reference
+    text_splitters/langchain.py:23-62, llamaindex.py:23-64).
+
+    Both reference adapters reduce to the SAME one-method contract:
+    ``splitter.split_text(text) -> list[str]`` (their ``run`` wraps each
+    returned string in a TextChunk with its enumeration index).  This
+    adapter therefore accepts ANY object exposing ``split_text`` — a
+    LangChain ``TextSplitter``, a LlamaIndex node-parser, or a plain
+    callable — without importing either library (absent here; the duck
+    type IS the public contract both define).
+    """
+    fn = getattr(splitter, "split_text", None)
+    if fn is None and callable(splitter):
+        fn = splitter
+    if fn is None:
+        raise TypeError(
+            "splitter must expose split_text(text) -> list[str] or be "
+            f"callable, got {type(splitter).__name__}"
+        )
+    return fn
+
+
+def split_with_adapter(
+    documents: DataFrame,
+    splitter,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Run a third-party text splitter as the splitting stage — the Spark
+    stage form of the reference's LangChain/LlamaIndex adapters.
+
+    Output schema matches :func:`split_fixed_size` so the rest of the
+    pipeline (extraction, lexical graph, NEXT_CHUNK ordering) is
+    splitter-agnostic.  External splitters may normalize text, so char
+    offsets are recovered best-effort with a sequential ``str.find`` from
+    the previous chunk's start (overlapping splitters re-scan forward);
+    a transformed chunk that no longer occurs verbatim gets offset -1 —
+    lineage-by-offset is a fixed-size-splitter guarantee, not an adapter
+    one (the reference's TextChunk carries no offsets at all).
+    ``boundary_ctx`` is emitted only for genuine offsets.
+
+    The splitter object must be picklable (it ships to executors inside
+    the Arrow stage closure) — true of LangChain/LlamaIndex splitters.
+    """
+    split_text = adapt_text_splitter(splitter)
+
+    def split_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            uids, convs, idxs, starts, ends, texts, ctxs = (
+                [], [], [], [], [], [], [],
+            )
+            for conv_id, text in zip(pdf["conv_id"], pdf["text"]):
+                doc = text or ""
+                search_from = 0
+                for i, chunk in enumerate(split_text(doc)):
+                    s = doc.find(chunk, search_from)
+                    if s < 0:  # overlap may start before the last start
+                        s = doc.find(chunk)
+                    e = s + len(chunk) if s >= 0 else -1
+                    uids.append(_chunk_uid(conv_id, i))
+                    convs.append(conv_id)
+                    idxs.append(i)
+                    starts.append(s)
+                    ends.append(e)
+                    texts.append(chunk)
+                    ctxs.append(doc[max(0, s - 2) : s] if s > 0 else "")
+                    if s >= 0:
+                        search_from = s + 1
+            yield pd.DataFrame(
+                {
+                    "chunk_uid": pd.Series(uids, dtype="object"),
+                    "conv_id": pd.Series(convs, dtype="object"),
+                    "chunk_index": pd.Series(idxs, dtype="int32"),
+                    "char_start": pd.Series(starts, dtype="int32"),
+                    "char_end": pd.Series(ends, dtype="int32"),
+                    "text": pd.Series(texts, dtype="object"),
+                    "boundary_ctx": pd.Series(ctxs, dtype="object"),
+                }
+            )
+
+    src = documents.select("conv_id", "text")
+    if num_partitions:
+        src = src.repartition(num_partitions, "conv_id")
+    return src.mapInPandas(split_batches, schema=CHUNKS_FIELDS)

@@ -4,6 +4,7 @@ reference tests/unit/.../test_fixed_size_splitter.py:26-215."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from neo4j_graphrag_python_spark.functions.splitting import (
     adjust_chunk_end,
@@ -123,3 +124,87 @@ def test_spans_reconstruct_text() -> None:
         for s, e, _ in spans:
             covered.update(range(s, e))
         assert covered == set(range(len(text)))
+
+
+class FakeLangChainSplitter:
+    """Duck-typed stand-in for langchain_text_splitters.TextSplitter /
+    llama_index node parsers: the whole adapter contract is
+    split_text(str) -> list[str] (reference langchain.py:44-62,
+    llamaindex.py:46-64; libs absent in this environment)."""
+
+    def __init__(self, sep: str = ". ") -> None:
+        self.sep = sep
+
+    def split_text(self, text: str) -> list[str]:
+        return [p for p in text.split(self.sep) if p]
+
+
+def test_adapt_text_splitter_contract() -> None:
+    from neo4j_graphrag_python_spark.operators.splitter import (
+        adapt_text_splitter,
+    )
+
+    fn = adapt_text_splitter(FakeLangChainSplitter())
+    assert fn("a. b. c") == ["a", "b", "c"]
+    assert adapt_text_splitter(lambda t: [t])("x") == ["x"]
+    with pytest.raises(TypeError):
+        adapt_text_splitter(42)
+
+
+def test_split_with_adapter_stage(spark) -> None:
+    """P2 adapters as a Spark stage: third-party splitter output flows
+    through the same chunks schema, with best-effort offsets, and feeds
+    extraction unchanged."""
+    from neo4j_graphrag_python_spark.operators.extractor import (
+        demo_rules,
+        extract_graph_rows,
+        regex_extractor,
+    )
+    from neo4j_graphrag_python_spark.operators.splitter import (
+        split_fixed_size,
+        split_with_adapter,
+    )
+
+    from types import SimpleNamespace
+
+    docs = spark.createDataFrame(
+        [("c1", "Alice works for Acme Corp.\nBob works for Globex.\nok")],
+        ["conv_id", "text"],
+    )
+    # SimpleNamespace + lambda pickle BY VALUE (a module-level test class
+    # would pickle by reference and fail to import on executors)
+    fake = SimpleNamespace(
+        split_text=lambda t: [p for p in t.split("\n") if p]
+    )
+    chunks = split_with_adapter(docs, fake).orderBy("chunk_index")
+    rows = chunks.collect()
+    assert [r["text"] for r in rows] == [
+        "Alice works for Acme Corp.",
+        "Bob works for Globex.",
+        "ok",
+    ]
+    # schema identical to the fixed-size stage → pipeline-compatible
+    assert chunks.columns == split_fixed_size(docs).columns
+    # best-effort offsets: these chunks occur verbatim, so they are real
+    doc = docs.collect()[0]["text"]
+    for r in rows:
+        assert doc[r["char_start"] : r["char_end"]] == r["text"]
+    # and extraction consumes the adapter's chunks unchanged
+    g = extract_graph_rows(chunks, regex_extractor(demo_rules()))
+    names = {
+        r["properties"]["name"]
+        for r in g.where(F.col("kind") == "node").collect()
+    }
+    assert {"Alice", "Acme Corp", "Bob", "Globex"} <= names
+
+
+def test_split_with_adapter_transformed_chunks_get_sentinel(spark) -> None:
+    """A splitter that rewrites text (not a substring) yields offset -1 —
+    lineage-by-offset is only promised by the fixed-size splitter."""
+    from neo4j_graphrag_python_spark.operators.splitter import (
+        split_with_adapter,
+    )
+
+    docs = spark.createDataFrame([("c1", "hello world")], ["conv_id", "text"])
+    out = split_with_adapter(docs, lambda t: [t.upper()]).collect()
+    assert out[0]["char_start"] == -1 and out[0]["char_end"] == -1
