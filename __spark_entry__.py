@@ -98,6 +98,49 @@ except Exception:  # pragma: no cover - testdata may be absent in CI
     SIMHASH_FIXTURE = str(tr.FIXTURE_ROOT / "sf0.01" / "simhash.parquet")
 
 
+def _ensure_fingerprints_fixture() -> str:
+    """Expected winnowed fingerprints of the sf0.01 documents, computed
+    offline in straight-line Python with the SAME ``winnow_fingerprints``
+    scalar the Spark stage wraps — the DuckDB hash gate then pins the
+    distributed side (Arrow batching, dtypes, the exploded multiset
+    including duplicate fingerprints).  Same sf0.01-pinning contract as
+    the simhash fixture above."""
+    out = tr.FIXTURE_ROOT / "sf0.01" / "fingerprints.parquet"
+    if not out.exists():
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from neo4j_graphrag_python_spark.operators.text_analysis import (
+            winnow_fingerprints,
+        )
+
+        docs = pq.read_table(
+            "/root/testdata/sf0.01/documents.parquet", columns=["doc_id", "text"]
+        ).to_pandas()
+        ids, prints = [], []
+        for did, text in zip(docs["doc_id"], docs["text"]):
+            for f in winnow_fingerprints(text):
+                ids.append(int(did))
+                prints.append(f)
+        out.parent.mkdir(parents=True, exist_ok=True)
+        pq.write_table(
+            pa.table(
+                {
+                    "id": pd_series_int64(ids),
+                    "fingerprint": pd_series_int64(prints),
+                }
+            ),
+            out,
+        )
+    return str(out)
+
+
+try:
+    FINGERPRINTS_FIXTURE = _ensure_fingerprints_fixture()
+except Exception:  # pragma: no cover - testdata may be absent in CI
+    FINGERPRINTS_FIXTURE = str(tr.FIXTURE_ROOT / "sf0.01" / "fingerprints.parquet")
+
+
 
 # chunking used by the oracle-checked queries (chunk-overlap-safe for the
 # planted sentences; see transcripts.py docstring)
@@ -655,7 +698,9 @@ def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowed rolling-hash fingerprints (rows-only)."""
+    """Winnowed rolling-hash fingerprints — hash-checked against
+    FINGERPRINTS_FIXTURE (offline run of the identical scalar fn; pins
+    the Arrow-stage plumbing and the exact exploded multiset)."""
     from neo4j_graphrag_python_spark.operators.text_analysis import doc_fingerprints
 
     return doc_fingerprints(_read(spark, sf_dir, "documents"))
@@ -865,6 +910,11 @@ FROM (SELECT DISTINCT label, name FROM mentions) GROUP BY label
         # _ensure_fuzzy_fixture) — pins the LSH-blocked distributed path
         "kg_fuzzy_entities": f"""
 SELECT label, name FROM read_parquet('{FUZZY_FIXTURE}')
+""",
+        # offline run of the same winnow_fingerprints scalar — pins the
+        # Arrow stage's dtypes/batching and the exact exploded multiset
+        "doc_fingerprints": f"""
+SELECT id, fingerprint FROM read_parquet('{FINGERPRINTS_FIXTURE}')
 """,
         "dedup_exact_docs": """
 SELECT md5(text) AS text_hash, count(*) AS n_dups, min(doc_id) AS keeper_doc_id

@@ -139,6 +139,37 @@ def language_id(
     )
 
 
+def winnow_fingerprints(
+    text: str, window: int = 8, keep_every: int = 4
+) -> list[int]:
+    """Winnowed Rabin-Karp fingerprints of one text — the pure per-doc
+    core shared by the Spark stage below AND the offline oracle fixture
+    (``__spark_entry__._ensure_fingerprints_fixture``), so the DuckDB
+    value gate pins the distributed plumbing around the identical scalar
+    function (same pattern as ``simhash64``).
+
+    Rolling polynomial hash over char windows; keep the minimum hash of
+    every ``keep_every`` consecutive windows (winnowing) — standard
+    near-dup / plagiarism fingerprinting.
+    """
+    B, M = 1_000_003, (1 << 61) - 1
+    t = (text or "").lower()
+    if len(t) < window:
+        return []
+    hashes = []
+    h = 0
+    power = pow(B, window - 1, M)
+    for i, ch in enumerate(t):
+        h = (h * B + ord(ch)) % M
+        if i >= window - 1:
+            hashes.append(h)
+            h = (h - ord(t[i - window + 1]) * power) % M
+    return [
+        min(hashes[j : j + keep_every])
+        for j in range(0, len(hashes), keep_every)
+    ]
+
+
 def doc_fingerprints(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -146,33 +177,19 @@ def doc_fingerprints(
     window: int = 8,
     keep_every: int = 4,
 ) -> DataFrame:
-    """Winnowed Rabin-Karp fingerprints → (id, fingerprint) exploded rows.
+    """Winnowed fingerprints → (id, fingerprint) exploded rows.
 
-    Rolling polynomial hash over char windows; keep the minimum hash of
-    every ``keep_every`` consecutive windows (winnowing) — standard
-    near-dup / plagiarism fingerprinting.  Imperative per-char state ⇒
-    pandas UDF (Arrow-batched).
+    Imperative per-char state ⇒ pandas UDF (Arrow-batched) around
+    :func:`winnow_fingerprints`.
     """
-    B, M = 1_000_003, (1 << 61) - 1
 
     def fp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ids, prints = [], []
         for pdf in batches:
             for did, text in zip(pdf[id_col], pdf[text_col]):
-                t = (text or "").lower()
-                if len(t) < window:
-                    continue
-                hashes = []
-                h = 0
-                power = pow(B, window - 1, M)
-                for i, ch in enumerate(t):
-                    h = (h * B + ord(ch)) % M
-                    if i >= window - 1:
-                        hashes.append(h)
-                        h = (h - ord(t[i - window + 1]) * power) % M
-                for j in range(0, len(hashes), keep_every):
+                for f in winnow_fingerprints(text, window, keep_every):
                     ids.append(did)
-                    prints.append(min(hashes[j : j + keep_every]))
+                    prints.append(f)
             yield pd.DataFrame({"id": pd.Series(ids, dtype="int64"),
                                 "fingerprint": pd.Series(prints, dtype="int64")})
             ids, prints = [], []
