@@ -118,9 +118,17 @@ class OpenAICompatClient:
             {"model": self.model, "messages": messages, **self.extra_params},
         )
         try:
-            return out["choices"][0]["message"]["content"]
+            content = out["choices"][0]["message"]["content"]
         except (KeyError, IndexError, TypeError) as e:
             raise LLMGenerationError(f"malformed completion payload: {out}") from e
+        if not isinstance(content, str):
+            # tool_calls / content-filter responses carry content: null —
+            # fail HERE with the module's own error, not later with a
+            # confusing NoneType crash in extract_sql/parse_extraction
+            raise LLMGenerationError(
+                f"completion returned non-text content: {out}"
+            )
+        return content
 
     def complete_batch(self, prompts: list[str]) -> list[str]:
         """Arrow-batch fan-out over a bounded thread pool — the
@@ -152,12 +160,16 @@ class OpenAICompatClient:
         )
         try:
             rows = sorted(out["data"], key=lambda d: d["index"])
+            idxs = [r["index"] for r in rows]
             mat = np.asarray([r["embedding"] for r in rows], dtype=np.float32)
         except (KeyError, TypeError) as e:
             raise LLMGenerationError(f"malformed embeddings payload: {out}") from e
-        if mat.shape[0] != len(texts):
+        # the index SET must be exactly 0..n-1 — duplicate or gapped
+        # indexes would silently misalign vectors with texts
+        if idxs != list(range(len(texts))):
             raise LLMGenerationError(
-                f"embeddings count mismatch: sent {len(texts)}, got {mat.shape[0]}"
+                f"embeddings index mismatch: sent {len(texts)} inputs, "
+                f"got indexes {idxs[:10]}{'…' if len(idxs) > 10 else ''}"
             )
         return mat
 

@@ -429,9 +429,10 @@ def lsh_params_for(
     max_tables for the requested recall.
     """
     import math
+    import warnings
 
     p = 1.0 - math.acos(max(-1.0, min(1.0, threshold))) / math.pi
-    best = (1, 1)
+    best = None
     for m in range(1, 33):
         pm = p**m
         if pm >= 1.0:
@@ -442,6 +443,19 @@ def lsh_params_for(
             best = (m, L)
         else:
             break
+    if best is None:
+        # even m=1 needs more than max_tables (only possible at very low /
+        # negative thresholds): clamp and warn, same policy as the
+        # caller-override branches of embedding_neardup_lsh — never a
+        # silent (1, 1) that would void the recall target with one table
+        best = (1, max_tables)
+        ach = lsh_achievable_recall(threshold, 1, max_tables)
+        warnings.warn(
+            f"lsh_params_for: recall target {target_recall} unreachable at "
+            f"threshold={threshold} within max_tables={max_tables}; using "
+            f"(m=1, L={max_tables}), model recall ≈ {ach:.3f}.",
+            stacklevel=2,
+        )
     return best
 
 

@@ -87,9 +87,8 @@ def extract_schema_from_text(
     )
 
 
-# reference root schema.py:28-29 — the same guards bound what the prompt
-# (and the driver collect) can carry
-LIST_LIMIT = 128
+# reference root schema.py:29 — bounds what the prompt (and the driver
+# collect) can carry; LIST_LIMIT lives in functions/text.py
 DISTINCT_VALUE_LIMIT = 10
 
 
@@ -97,6 +96,7 @@ def typed_property_stats(
     frame: DataFrame,
     key_col: str = "label",
     distinct_value_limit: int = DISTINCT_VALUE_LIMIT,
+    value_trunc: int = 80,
 ) -> DataFrame:
     """Per (key, property): inferred type, exact distinct count, a bounded
     distinct-value sample and numeric min/max — the DataFrame analog of
@@ -116,6 +116,14 @@ def typed_property_stats(
     ever built (collect_set over a high-cardinality property would
     materialize every distinct value per group).  The window and the
     final groupBy share one hash partitioning on (key, property).
+
+    Sampled values are truncated to ``value_trunc`` chars BEFORE the
+    distinct, so long free-text properties (chunk texts) never ride the
+    sample shuffle or land verbatim in a prompt; ``distinct_count`` is
+    therefore counted over the truncated values — a lower bound on the
+    true cardinality, which only ever demotes a rendered "available
+    options" list to a single example, never the reverse.  Type votes and
+    min/max always use the full values.
     """
     from pyspark.sql import Window
 
@@ -137,6 +145,10 @@ def typed_property_stats(
         F.count(F.when(is_date, 1)).alias("n_date"),
         F.min(v.try_cast("double")).alias("min_num"),
         F.max(v.try_cast("double")).alias("max_num"),
+        # exact 64-bit range for INTEGER properties: a double round-trip
+        # is lossy above 2^53
+        F.min(v.try_cast("bigint")).alias("min_long"),
+        F.max(v.try_cast("bigint")).alias("max_long"),
         F.min(v).alias("min_str"),
         F.max(v).alias("max_str"),
     )
@@ -154,6 +166,7 @@ def typed_property_stats(
     w = Window.partitionBy("key", "property")
     distinct_vals = (
         kv.where(v.isNotNull())
+        .select("key", "property", F.substring(v, 1, value_trunc).alias("value"))
         .distinct()
         .withColumn("rn", F.row_number().over(w.orderBy("value")))
         .withColumn("distinct_count", F.count("*").over(w))
@@ -174,6 +187,8 @@ def typed_property_stats(
         F.coalesce("values", F.array().cast("array<string>")).alias("values"),
         "min_num",
         "max_num",
+        "min_long",
+        "max_long",
         "min_str",
         "max_str",
         "n",
@@ -214,13 +229,13 @@ def get_structured_schema(
                 "values": list(r["values"] or []),
                 "distinct_count": int(r["distinct_count"]),
             }
-            if r["type"] in ("INTEGER", "FLOAT") and r["min_num"] is not None:
-                if r["type"] == "INTEGER":
-                    prop["min"] = int(r["min_num"])
-                    prop["max"] = int(r["max_num"])
-                else:
-                    prop["min"] = r["min_num"]
-                    prop["max"] = r["max_num"]
+            if r["type"] == "INTEGER" and r["min_long"] is not None:
+                # exact bigint range, not a double round-trip
+                prop["min"] = int(r["min_long"])
+                prop["max"] = int(r["max_long"])
+            elif r["type"] == "FLOAT" and r["min_num"] is not None:
+                prop["min"] = r["min_num"]
+                prop["max"] = r["max_num"]
             elif r["type"] == "DATE" and r["min_str"] is not None:
                 prop["min"] = r["min_str"]
                 prop["max"] = r["max_str"]
@@ -249,15 +264,29 @@ def get_structured_schema(
 def _format_property(prop: dict[str, Any]) -> str | None:
     """Reference _format_property (root schema.py:370-400): an example for
     high-cardinality strings, the full option list for low-cardinality
-    ones, min/max for numerics and dates."""
+    ones, min/max for numerics and dates.
+
+    "Available options" is claimed ONLY when the sample is actually
+    exhaustive (``distinct_count <= len(values)``), not against the
+    module's default limit — a caller-set ``distinct_value_limit`` (or
+    sample truncation) must demote to a single example rather than
+    present a partial list as complete.  Rendered examples are
+    newline-stripped (reference _clean_string_values) and length-capped.
+    """
+    from neo4j_graphrag_python_spark.functions.text import clean_string_values
+
+    def ex(val: str) -> str:
+        return clean_string_values(str(val))[:60]
+
     if prop["type"] == "STRING" and prop.get("values"):
-        if prop.get("distinct_count", DISTINCT_VALUE_LIMIT + 1) > DISTINCT_VALUE_LIMIT:
-            return f'Example: "{prop["values"][0]}"'
-        return f"Available options: {list(prop['values'])}"
+        values = list(prop["values"])
+        if prop.get("distinct_count", len(values) + 1) > len(values):
+            return f'Example: "{ex(values[0])}"'
+        return f"Available options: {[ex(v) for v in values]}"
     if prop["type"] in ("INTEGER", "FLOAT", "DATE"):
         if prop.get("min") is not None and prop.get("max") is not None:
             return f"Min: {prop['min']}, Max: {prop['max']}"
-        return f'Example: "{prop["values"][0]}"' if prop.get("values") else ""
+        return f'Example: "{ex(prop["values"][0])}"' if prop.get("values") else ""
     return ""
 
 

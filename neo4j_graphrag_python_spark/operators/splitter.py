@@ -41,19 +41,15 @@ def _chunk_uid(conv_id: str, chunk_index: int) -> str:
     return hashlib.sha1(f"{conv_id}:{chunk_index}".encode("utf-8")).hexdigest()
 
 
-def split_fixed_size(
+def _split_stage(
     documents: DataFrame,
-    config: SplitterConfig | None = None,
-    num_partitions: int | None = None,
+    span_fn,
+    num_partitions: int | None,
 ) -> DataFrame:
-    """documents(conv_id, text, ...) → chunks(chunk_uid, conv_id,
-    chunk_index, char_start, char_end, text)."""
-    config = config or SplitterConfig()
-    size, overlap, approximate = (
-        config.chunk_size,
-        config.chunk_overlap,
-        config.approximate,
-    )
+    """Shared mapInPandas scaffold for splitting stages: ``span_fn(doc)``
+    yields ``(chunk_index, char_start, char_end, chunk_text, ctx)`` per
+    chunk; everything else (uids, columnar assembly, dtypes, the conv_id
+    repartition) is identical across splitters and lives only here."""
 
     def split_batches(
         batches: Iterator[pd.DataFrame],
@@ -63,17 +59,14 @@ def split_fixed_size(
                 [], [], [], [], [], [], [],
             )
             for conv_id, text in zip(pdf["conv_id"], pdf["text"]):
-                doc = text or ""
-                for i, (s, e, chunk) in enumerate(
-                    split_text(doc, size, overlap, approximate)
-                ):
+                for i, s, e, chunk, ctx in span_fn(text or ""):
                     uids.append(_chunk_uid(conv_id, i))
                     convs.append(conv_id)
                     idxs.append(i)
                     starts.append(s)
                     ends.append(e)
                     texts.append(chunk)
-                    ctxs.append(doc[max(0, s - 2) : s])
+                    ctxs.append(ctx)
             yield pd.DataFrame(
                 {
                     "chunk_uid": pd.Series(uids, dtype="object"),
@@ -90,6 +83,29 @@ def split_fixed_size(
     if num_partitions:
         src = src.repartition(num_partitions, "conv_id")
     return src.mapInPandas(split_batches, schema=CHUNKS_FIELDS)
+
+
+def split_fixed_size(
+    documents: DataFrame,
+    config: SplitterConfig | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """documents(conv_id, text, ...) → chunks(chunk_uid, conv_id,
+    chunk_index, char_start, char_end, text)."""
+    config = config or SplitterConfig()
+    size, overlap, approximate = (
+        config.chunk_size,
+        config.chunk_overlap,
+        config.approximate,
+    )
+
+    def spans(doc: str):
+        for i, (s, e, chunk) in enumerate(
+            split_text(doc, size, overlap, approximate)
+        ):
+            yield i, s, e, chunk, doc[max(0, s - 2) : s]
+
+    return _split_stage(documents, spans, num_partitions)
 
 
 def adapt_text_splitter(splitter):
@@ -136,45 +152,17 @@ def split_with_adapter(
     The splitter object must be picklable (it ships to executors inside
     the Arrow stage closure) — true of LangChain/LlamaIndex splitters.
     """
-    split_text = adapt_text_splitter(splitter)
+    split_text_fn = adapt_text_splitter(splitter)
 
-    def split_batches(
-        batches: Iterator[pd.DataFrame],
-    ) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            uids, convs, idxs, starts, ends, texts, ctxs = (
-                [], [], [], [], [], [], [],
-            )
-            for conv_id, text in zip(pdf["conv_id"], pdf["text"]):
-                doc = text or ""
-                search_from = 0
-                for i, chunk in enumerate(split_text(doc)):
-                    s = doc.find(chunk, search_from)
-                    if s < 0:  # overlap may start before the last start
-                        s = doc.find(chunk)
-                    e = s + len(chunk) if s >= 0 else -1
-                    uids.append(_chunk_uid(conv_id, i))
-                    convs.append(conv_id)
-                    idxs.append(i)
-                    starts.append(s)
-                    ends.append(e)
-                    texts.append(chunk)
-                    ctxs.append(doc[max(0, s - 2) : s] if s > 0 else "")
-                    if s >= 0:
-                        search_from = s + 1
-            yield pd.DataFrame(
-                {
-                    "chunk_uid": pd.Series(uids, dtype="object"),
-                    "conv_id": pd.Series(convs, dtype="object"),
-                    "chunk_index": pd.Series(idxs, dtype="int32"),
-                    "char_start": pd.Series(starts, dtype="int32"),
-                    "char_end": pd.Series(ends, dtype="int32"),
-                    "text": pd.Series(texts, dtype="object"),
-                    "boundary_ctx": pd.Series(ctxs, dtype="object"),
-                }
-            )
+    def spans(doc: str):
+        search_from = 0
+        for i, chunk in enumerate(split_text_fn(doc)):
+            s = doc.find(chunk, search_from)
+            if s < 0:  # overlap may start before the last start
+                s = doc.find(chunk)
+            e = s + len(chunk) if s >= 0 else -1
+            yield i, s, e, chunk, (doc[max(0, s - 2) : s] if s > 0 else "")
+            if s >= 0:
+                search_from = s + 1
 
-    src = documents.select("conv_id", "text")
-    if num_partitions:
-        src = src.repartition(num_partitions, "conv_id")
-    return src.mapInPandas(split_batches, schema=CHUNKS_FIELDS)
+    return _split_stage(documents, spans, num_partitions)

@@ -86,6 +86,11 @@ def split_named_embeddings(
     ``names``: the vector property names to materialize.  When omitted
     they are discovered with one distinct map_keys pass — bounded by the
     schema (number of DISTINCT property names), not the data.
+
+    A name colliding with an existing column (``id``, ``label``, …)
+    raises instead of silently overwriting it — the same spirit as the
+    reference's validator forbidding ``id`` as an embedding property name
+    (types.py:92-98).
     """
     if names is None:
         names = sorted(
@@ -95,6 +100,11 @@ def split_named_embeddings(
             )
             .distinct()
             .collect()
+        )
+    clash = sorted(set(names) & set(df.columns))
+    if clash:
+        raise ValueError(
+            f"embedding property names collide with existing columns: {clash}"
         )
     out = df
     for name in names:

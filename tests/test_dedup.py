@@ -336,6 +336,26 @@ def test_embedding_lsh_override_clamps_tables_with_warning(spark) -> None:
     assert lsh_achievable_recall(0.5, 20, 64) < 0.95  # honestly degraded
 
 
+def test_lsh_params_for_unreachable_clamps_with_warning() -> None:
+    """When even m=1 needs more than max_tables, lsh_params_for must
+    clamp to (1, max_tables) and warn — not silently fall back to one
+    1-bit table (review finding)."""
+    import warnings
+
+    from neo4j_graphrag_python_spark.operators.dedup import (
+        lsh_achievable_recall,
+        lsh_params_for,
+    )
+
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        m, L = lsh_params_for(-0.99, target_recall=0.95, max_tables=64)
+    assert (m, L) == (1, 64)
+    assert any("unreachable" in str(w.message) for w in caught)
+    # and the clamped point is far better than the old silent (1, 1)
+    assert lsh_achievable_recall(-0.99, 1, 64) > lsh_achievable_recall(-0.99, 1, 1)
+
+
 def test_embedding_lsh_unreachable_num_tables_raises(spark) -> None:
     """num_tables override too small for the target even at m=1 must raise,
     not silently void the docstring's recall promise."""

@@ -24,6 +24,7 @@ from neo4j_graphrag_python_spark.llm import (
 class _Fake(BaseHTTPRequestHandler):
     fail_next: list[int] = []  # status codes to emit before succeeding
     seen_auth: list[str] = []
+    mode: str = "echo"  # echo | null_content | dup_index
 
     def log_message(self, *a):  # quiet
         pass
@@ -40,10 +41,10 @@ class _Fake(BaseHTTPRequestHandler):
         payload = json.loads(self.rfile.read(n))
         if self.path.endswith("/chat/completions"):
             prompt = payload["messages"][-1]["content"]
+            content = None if _Fake.mode == "null_content" else f"ECHO:{prompt}"
             body = {
                 "choices": [
-                    {"message": {"role": "assistant",
-                                 "content": f"ECHO:{prompt}"}}
+                    {"message": {"role": "assistant", "content": content}}
                 ]
             }
         elif self.path.endswith("/embeddings"):
@@ -54,6 +55,8 @@ class _Fake(BaseHTTPRequestHandler):
                                1.0, 0.0]}
                 for i, t in enumerate(payload["input"])
             ]
+            if _Fake.mode == "dup_index" and len(data) > 1:
+                data[1]["index"] = 0  # duplicate index, count still right
             data.reverse()  # client must honor index, not order
             body = {"data": data}
         else:
@@ -111,6 +114,28 @@ def test_non_retryable_and_exhausted(base_url) -> None:
     with pytest.raises(LLMGenerationError, match="attempts"):
         client(base_url, max_retries=2).complete("down")
     _Fake.fail_next = []
+
+
+def test_null_content_raises_not_none(base_url) -> None:
+    """content: null (tool_calls / content-filter responses) must raise
+    the module's own error, not leak None into extract_sql/parse paths."""
+    _Fake.mode = "null_content"
+    try:
+        with pytest.raises(LLMGenerationError, match="non-text"):
+            client(base_url).complete("q")
+    finally:
+        _Fake.mode = "echo"
+
+
+def test_duplicate_embedding_index_raises(base_url) -> None:
+    """A duplicate/gapped index field would silently misalign vectors
+    with texts — the client must verify indexes are exactly 0..n-1."""
+    _Fake.mode = "dup_index"
+    try:
+        with pytest.raises(LLMGenerationError, match="index mismatch"):
+            client(base_url).embed_batch(["a", "b"])
+    finally:
+        _Fake.mode = "echo"
 
 
 def test_system_instruction_in_messages(base_url) -> None:

@@ -154,6 +154,77 @@ def test_format_schema_enhanced_and_compact(spark) -> None:
     assert "(:Person)-[:KNOWS]->(:Person)" in compact
 
 
+def test_format_property_honest_about_truncated_samples() -> None:
+    """A sample smaller than distinct_count must render as ONE example,
+    never as an exhaustive 'Available options' list (review finding:
+    the old check compared against the module default limit, so a
+    custom distinct_value_limit presented partial lists as complete).
+    Examples are newline-stripped and length-capped."""
+    from neo4j_graphrag_python_spark.operators.schema_inference import (
+        _format_property,
+    )
+
+    truncated = {
+        "property": "city",
+        "type": "STRING",
+        "values": ["a", "b", "c"],
+        "distinct_count": 8,
+    }
+    assert _format_property(truncated) == 'Example: "a"'
+    exhaustive = {**truncated, "distinct_count": 3}
+    assert _format_property(exhaustive) == "Available options: ['a', 'b', 'c']"
+    long_val = {
+        "property": "bio",
+        "type": "STRING",
+        "values": ["line1\nline2 " + "x" * 100],
+        "distinct_count": 99,
+    }
+    rendered = _format_property(long_val)
+    assert "\n" not in rendered and len(rendered) < 80
+
+
+def test_structured_schema_int64_range_exact(spark) -> None:
+    """INTEGER min/max must be exact above 2^53 (double round-trip is
+    lossy there)."""
+    from neo4j_graphrag_python_spark.operators.schema_inference import (
+        get_structured_schema,
+    )
+
+    big = 9007199254740993  # 2^53 + 1
+    nodes = spark.createDataFrame(
+        [
+            ("a", "Thing", True, {"val": str(big)}, None, "c", "u"),
+            ("b", "Thing", True, {"val": "7"}, None, "c", "u"),
+        ],
+        NODES_SCHEMA,
+    )
+    edges = spark.createDataFrame([], EDGES_SCHEMA)
+    s = get_structured_schema(nodes, edges)
+    val = {p["property"]: p for p in s["node_props"]["Thing"]}["val"]
+    assert val["type"] == "INTEGER"
+    assert val["min"] == 7 and val["max"] == big  # not 2^53
+
+
+def test_typed_stats_truncate_long_values(spark) -> None:
+    """Long free-text property values are truncated before the distinct
+    sample shuffle, so chunk-sized texts never land verbatim in the
+    schema (prompt bloat / content injection)."""
+    from neo4j_graphrag_python_spark.operators.schema_inference import (
+        typed_property_stats,
+    )
+
+    nodes = spark.createDataFrame(
+        [("a", "Chunk", False, {"text": "y" * 600}, None, "c", "u")],
+        NODES_SCHEMA,
+    )
+    row = [
+        r
+        for r in typed_property_stats(nodes).collect()
+        if r["property"] == "text"
+    ][0]
+    assert all(len(v) <= 80 for v in row["values"])
+
+
 def test_describe_graph(spark) -> None:
     nodes = spark.createDataFrame(
         [

@@ -364,6 +364,14 @@ def test_split_named_embeddings_from_map(spark) -> None:
     assert out["a"]["desc_vec"] == [0.0, 1.0]
     assert out["b"]["desc_vec"] is None
     assert "embedding_properties" not in split_named_embeddings(df).columns
+    # a name colliding with an existing column must raise, not overwrite
+    # (reference forbids 'id' as an embedding property name)
+    bad = spark.createDataFrame(
+        [("a", {"id": [1.0]})],
+        "id string, embedding_properties map<string,array<float>>",
+    )
+    with pytest.raises(ValueError, match="collide"):
+        split_named_embeddings(bad)
 
 
 def test_upsert_vectors_attaches_missing_column(spark) -> None:
