@@ -141,6 +141,53 @@ except Exception:  # pragma: no cover - testdata may be absent in CI
     FINGERPRINTS_FIXTURE = str(tr.FIXTURE_ROOT / "sf0.01" / "fingerprints.parquet")
 
 
+def _ensure_pii_fixture() -> str:
+    """sf0.01 documents with deterministically planted PII spans (URLs,
+    emails, phones, IPv4s keyed off doc_id) — the synthetic corpus is
+    word soup with no PII, so the scrub operator needs a fixture where
+    redaction actually fires.  The oracle runs the SAME patterns through
+    DuckDB's RE2 `regexp_replace(..., 'g')`, making the query a true
+    cross-engine check of the regex semantics (patterns are restricted
+    to the Java-regex ∩ RE2 dialect for exactly this reason).  Pinned to
+    sf0.01 like the other fixtures."""
+    out = tr.FIXTURE_ROOT / "sf0.01" / "pii_docs.parquet"
+    if not out.exists():
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        docs = pq.read_table(
+            "/root/testdata/sf0.01/documents.parquet", columns=["doc_id", "text"]
+        ).to_pandas()
+        texts = []
+        for did, text in zip(docs["doc_id"], docs["text"]):
+            did = int(did)
+            t = text or ""
+            if did % 5 == 0:
+                t = f"visit https://example.org/p/{did}?ref=x " + t
+            if did % 7 == 0:
+                t += f" contact user{did}@example.com"
+            if did % 11 == 0:
+                t += f" call +1 (555) 123-{did % 10000:04d}"
+            if did % 13 == 0:
+                t += f" from 10.0.{did % 256}.{(did * 7) % 256}"
+            texts.append(t)
+        out.parent.mkdir(parents=True, exist_ok=True)
+        pq.write_table(
+            pa.table(
+                {"doc_id": pd_series_int64([int(d) for d in docs["doc_id"]]),
+                 "text": texts}
+            ),
+            out,
+        )
+    return str(out)
+
+
+try:
+    PII_FIXTURE = _ensure_pii_fixture()
+except Exception:  # pragma: no cover - testdata may be absent in CI
+    PII_FIXTURE = str(tr.FIXTURE_ROOT / "sf0.01" / "pii_docs.parquet")
+
+
 
 # chunking used by the oracle-checked queries (chunk-overlap-safe for the
 # planted sentences; see transcripts.py docstring)
@@ -706,6 +753,38 @@ def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_fingerprints(_read(spark, sf_dir, "documents"))
 
 
+def q_doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over the planted fixture: per-kind counts (on the
+    original text) + the scrubbed text.  One codegen'd projection — no
+    shuffle, no Python.  Oracle: identical patterns through DuckDB RE2."""
+    from neo4j_graphrag_python_spark.operators.text_analysis import pii_scrub
+
+    return pii_scrub(spark.read.parquet(PII_FIXTURE))
+
+
+def q_doc_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination check (GPT-3 appendix-C-style word
+    8-gram overlap): docs vs the doc_id<50 'benchmark' slice.  Benchmark
+    gram set broadcast; corpus text never shuffles."""
+    from neo4j_graphrag_python_spark.operators.text_analysis import (
+        contamination_scores,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") < 50)
+    return contamination_scores(docs, bench, n=8)
+
+
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filter signal: fraction of 2-gram
+    occurrences taken by the most frequent 2-gram.  Pure HOF projection."""
+    from neo4j_graphrag_python_spark.operators.text_analysis import (
+        repetition_stats,
+    )
+
+    return repetition_stats(_read(spark, sf_dir, "documents"), n=2)
+
+
 def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH/IVF-bucketed approximate top-k (rows-only: approximate by
     design; recall vs the brute-force oracle is asserted in tests).
@@ -753,6 +832,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard_exact": q_dedup_jaccard_exact,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "doc_fingerprints": q_doc_fingerprints,
+        "doc_pii_scrub": q_doc_pii_scrub,
+        "doc_contamination": q_doc_contamination,
+        "doc_repetition": q_doc_repetition,
         "ann_topk_ivf": q_ann_topk_ivf,
     }
 
@@ -838,6 +920,25 @@ def _lang_hits_sql() -> tuple[str, str]:
     return lang_list, hit_exprs
 
 
+def _pii_oracle_sql() -> str:
+    """Composed from the SAME PII_PATTERNS list the Spark operator uses,
+    so the oracle is a genuine cross-engine check of the regex dialect
+    (patterns restricted to Java-regex ∩ RE2 on purpose)."""
+    from neo4j_graphrag_python_spark.operators.text_analysis import PII_PATTERNS
+
+    counts = ",\n       ".join(
+        f"len(regexp_extract_all(text, '{rx}')) AS n_{kind}"
+        for kind, rx, _repl in PII_PATTERNS
+    )
+    clean = "text"
+    for _kind, rx, repl in PII_PATTERNS:
+        clean = f"regexp_replace({clean}, '{rx}', '{repl}', 'g')"
+    return (
+        f"SELECT doc_id AS id,\n       {clean} AS clean_text,\n       {counts}\n"
+        f"FROM read_parquet('{PII_FIXTURE}')"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     lang_list, hit_exprs = _lang_hits_sql()
     from neo4j_graphrag_python_spark.operators.text_analysis import BPE_ISH_PATTERN
@@ -915,6 +1016,61 @@ SELECT label, name FROM read_parquet('{FUZZY_FIXTURE}')
         # Arrow stage's dtypes/batching and the exact exploded multiset
         "doc_fingerprints": f"""
 SELECT id, fingerprint FROM read_parquet('{FINGERPRINTS_FIXTURE}')
+""",
+        "doc_pii_scrub": _pii_oracle_sql(),
+        "doc_contamination": r"""
+WITH t AS (
+  SELECT doc_id AS id,
+         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS toks
+  FROM documents
+),
+g AS (
+  SELECT id,
+         list_distinct([array_to_string(toks[i:i+7], ' ')
+                        for i in range(1, greatest(len(toks) - 6, 1))]) AS gs
+  FROM t
+),
+bench AS (SELECT DISTINCT unnest(gs) AS gram FROM g WHERE id < 50),
+dg AS (SELECT id, unnest(gs) AS gram FROM g),
+h AS (
+  SELECT dg.id, count(*) AS n_grams, count(b.gram) AS n_hit
+  FROM dg LEFT JOIN bench b USING (gram) GROUP BY dg.id
+)
+SELECT g.id,
+       coalesce(h.n_grams, 0) AS n_grams,
+       coalesce(h.n_hit, 0) AS n_hit,
+       round(CASE WHEN coalesce(h.n_grams, 0) > 0
+                  THEN h.n_hit / CAST(h.n_grams AS DOUBLE)
+                  ELSE 0.0 END, 6) AS contamination
+FROM g LEFT JOIN h ON g.id = h.id
+""",
+        "doc_repetition": r"""
+WITH t AS (
+  SELECT doc_id AS id,
+         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS toks
+  FROM documents
+),
+base AS (
+  SELECT id,
+         [array_to_string(toks[i:i+1], ' ')
+          for i in range(1, greatest(len(toks), 1))] AS gs,
+         greatest(len(toks) - 1, 0) AS n_ngrams
+  FROM t
+),
+c AS (
+  SELECT id, gram, count(*) AS c
+  FROM (SELECT id, unnest(gs) AS gram FROM base) GROUP BY 1, 2
+),
+m AS (SELECT id, max(c) AS top FROM c GROUP BY id)
+SELECT base.id,
+       CAST(base.n_ngrams AS BIGINT) AS n_ngrams,
+       CAST(coalesce(m.top, 0) AS BIGINT) AS top_ngram_count,
+       round(CASE WHEN base.n_ngrams > 0
+                  THEN coalesce(m.top, 0) / CAST(base.n_ngrams AS DOUBLE)
+                  ELSE 0.0 END, 6) AS top_ngram_frac
+FROM base LEFT JOIN m ON base.id = m.id
 """,
         "dedup_exact_docs": """
 SELECT md5(text) AS text_hash, count(*) AS n_dups, min(doc_id) AS keeper_doc_id

@@ -197,3 +197,168 @@ def doc_fingerprints(
     return df.select(id_col, text_col).mapInPandas(
         fp, schema="id long, fingerprint long"
     )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing
+# ---------------------------------------------------------------------------
+
+# ASCII-explicit patterns, deliberately restricted to syntax shared by
+# Java regex (Spark) and RE2 (DuckDB/production scanners): character
+# classes, bounded repetition, alternation — no lookaround, no \d/\w
+# (unicode semantics differ across engines).  Order matters: URLs before
+# emails (a URL may contain '@'), emails before phones (digits in hosts).
+PII_PATTERNS: "list[tuple[str, str, str]]" = [
+    ("url", r"https?://[^\s]+", "<URL>"),
+    (
+        "email",
+        r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+",
+        "<EMAIL>",
+    ),
+    ("ipv4", r"([0-9]{1,3}\.){3}[0-9]{1,3}", "<IP>"),
+    ("phone", r"\+?[0-9][0-9()\- ]{7,14}[0-9]", "<PHONE>"),
+]
+
+
+def pii_scrub(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    patterns: "list[tuple[str, str, str]] | None" = None,
+) -> DataFrame:
+    """Redact PII-shaped spans (URLs, emails, IPv4s, phone numbers) —
+    the standard pre-training scrub pass.  → (id, clean_text,
+    n_<kind> … counts per pattern).
+
+    Pure built-in expressions: one ``regexp_count`` + one
+    ``regexp_replace`` per pattern, all fused into a single codegen'd
+    projection — no shuffle, no Python, scales linearly with the scan.
+    Counts are computed BEFORE replacement (on the original text) so a
+    later pattern can't hide an earlier kind's matches.
+    """
+    pats = patterns or PII_PATTERNS
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    cols = [F.col(id_col).alias("id")]
+    for kind, rx, _repl in pats:
+        cols.append(
+            F.regexp_count(text, F.lit(rx)).cast("long").alias(f"n_{kind}")
+        )
+    clean = text
+    for _kind, rx, repl in pats:
+        clean = F.regexp_replace(clean, rx, repl)
+    cols.insert(1, clean.alias("clean_text"))
+    return df.select(*cols)
+
+
+# ---------------------------------------------------------------------------
+# benchmark contamination
+# ---------------------------------------------------------------------------
+
+
+def _ngram_array(toks: Column, n: int) -> Column:
+    """Word n-grams (non-distinct, in order) as array<string>.
+
+    ``sequence(1, 0)`` is DESCENDING ``[1, 0]`` in Spark, not empty — a
+    doc shorter than n tokens must short-circuit to an empty array or the
+    transform feeds ``slice(toks, 0, n)`` and the task throws.
+    """
+    count = F.size(toks) - F.lit(n - 1)
+    return F.when(
+        count >= 1,
+        F.transform(
+            F.sequence(F.lit(1), count),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _word_ngrams(text_col: Column, n: int) -> Column:
+    """Distinct word n-grams of a text as array<string> (JVM HOFs)."""
+    return F.array_distinct(_ngram_array(_tokens(text_col), n))
+
+
+def contamination_scores(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document benchmark contamination: the fraction of the doc's
+    distinct word n-grams that appear anywhere in the benchmark corpus —
+    the standard train/test decontamination check (n-gram overlap à la
+    GPT-3 appendix C / PaLM).  → (id, n_grams, n_hit, contamination).
+
+    Plan shape: the benchmark's distinct gram set is aggregated once and
+    broadcast (benchmarks are small — eval sets, not corpora); each doc's
+    grams explode and semi-join in-map against it, then re-aggregate by
+    id.  The corpus side never shuffles its text — only (id, gram) pairs
+    of the exploded frame move, and with the broadcast join they move to
+    no other executor at all.  Docs shorter than n words report 0 grams
+    and 0.0 contamination (they cannot be n-gram contaminated).
+    """
+    bench_grams = (
+        benchmark.select(
+            F.explode(_word_ngrams(F.col(text_col), n)).alias("gram")
+        )
+        .distinct()
+    )
+    doc_grams = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode_outer(_word_ngrams(F.col(text_col), n)).alias("gram"),
+    )
+    joined = doc_grams.join(
+        F.broadcast(bench_grams.withColumn("_hit", F.lit(1))), "gram", "left"
+    )
+    return joined.groupBy("id").agg(
+        F.count("gram").alias("n_grams"),
+        F.count("_hit").alias("n_hit"),
+        F.round(
+            F.when(
+                F.count("gram") > 0,
+                F.count("_hit") / F.count("gram").cast("double"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("contamination"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# repetition stats (Gopher-style quality filters)
+# ---------------------------------------------------------------------------
+
+
+def repetition_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+) -> DataFrame:
+    """Per-document n-gram repetition (Rae et al. 2021 'Gopher' quality
+    filters): the fraction of all n-gram occurrences taken by the single
+    most frequent n-gram.  High values flag boilerplate/spam.  →
+    (id, n_ngrams, top_ngram_count, top_ngram_frac).
+
+    All JVM HOFs: build the (non-distinct) n-gram array, then
+    ``aggregate`` over its distinct values counting occurrences — per-row
+    state bounded by the doc's distinct n-grams, no shuffle at all (one
+    codegen'd projection).
+    """
+    grams = _ngram_array(_tokens(F.col(text_col)), n)
+    top = F.aggregate(
+        F.array_distinct(grams),
+        F.lit(0),
+        lambda acc, g: F.greatest(
+            acc, F.size(F.filter(grams, lambda x: x == g))
+        ),
+    )
+    n_ngrams = F.size(grams)
+    return df.select(
+        F.col(id_col).alias("id"),
+        n_ngrams.cast("long").alias("n_ngrams"),
+        top.cast("long").alias("top_ngram_count"),
+        F.round(
+            F.when(n_ngrams > 0, top / n_ngrams.cast("double")).otherwise(0.0),
+            6,
+        ).alias("top_ngram_frac"),
+    )

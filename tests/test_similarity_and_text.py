@@ -386,3 +386,75 @@ def test_upsert_vectors_attaches_missing_column(spark) -> None:
     assert out["b"]["embedding"] == [0.5, 0.5]
     assert out["a"]["embedding"] is None
     assert list(out["a"].asDict()) == ["id", "name", "embedding"]
+
+
+def test_pii_scrub_counts_and_redaction(spark) -> None:
+    """All four PII kinds redacted; counts computed on the ORIGINAL text
+    so later patterns can't hide earlier kinds; URL wins over email for
+    @-containing URLs (replacement order)."""
+    from neo4j_graphrag_python_spark.operators.text_analysis import pii_scrub
+
+    df = spark.createDataFrame(
+        [
+            (1, "visit https://ex.org/a?q=1 mail bob.smith+x@ex-co.uk "
+                "call +1 (555) 123-4567 ip 10.0.12.34 end"),
+            (2, "no pii here"),
+            (3, None),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["id"]: r for r in pii_scrub(df).collect()}
+    r1 = out[1]
+    assert (r1["n_url"], r1["n_email"], r1["n_ipv4"], r1["n_phone"]) == (1, 1, 1, 1)
+    assert r1["clean_text"] == (
+        "visit <URL> mail <EMAIL> call <PHONE> ip <IP> end"
+    )
+    assert out[2]["clean_text"] == "no pii here"
+    assert out[2]["n_email"] == 0
+    assert out[3]["clean_text"] == ""
+
+
+def test_contamination_scores_overlap(spark) -> None:
+    from neo4j_graphrag_python_spark.operators.text_analysis import (
+        contamination_scores,
+    )
+
+    bench = spark.createDataFrame(
+        [(100, "one two three four five six seven eight nine ten")],
+        ["doc_id", "text"],
+    )
+    docs = spark.createDataFrame(
+        [
+            # identical → all grams hit
+            (1, "one two three four five six seven eight nine ten"),
+            # shares the first 8 words then diverges: 2 of 3 grams hit
+            (2, "one two three four five six seven eight X Y"),
+            # disjoint
+            (3, "a b c d e f g h i j"),
+            # too short for 8-grams
+            (4, "tiny doc"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["id"]: r for r in contamination_scores(docs, bench, n=8).collect()}
+    assert out[1]["contamination"] == 1.0 and out[1]["n_grams"] == 3
+    assert out[2]["n_grams"] == 3 and out[2]["n_hit"] == 1
+    assert out[3]["contamination"] == 0.0
+    assert out[4]["n_grams"] == 0 and out[4]["contamination"] == 0.0
+
+
+def test_repetition_stats_top_ngram(spark) -> None:
+    from neo4j_graphrag_python_spark.operators.text_analysis import (
+        repetition_stats,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b a b a"), (2, "all words differ here now"), (3, "one")],
+        ["doc_id", "text"],
+    )
+    out = {r["id"]: r for r in repetition_stats(df, n=2).collect()}
+    # grams: "a b","b a","a b","b a" → top count 2 of 4
+    assert out[1]["n_ngrams"] == 4 and out[1]["top_ngram_count"] == 2
+    assert out[1]["top_ngram_frac"] == 0.5
+    assert out[2]["top_ngram_count"] == 1
+    assert out[3]["n_ngrams"] == 0 and out[3]["top_ngram_frac"] == 0.0
