@@ -777,7 +777,8 @@ def q_doc_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition filter signal: fraction of 2-gram
-    occurrences taken by the most frequent 2-gram.  Pure HOF projection."""
+    occurrences taken by the most frequent 2-gram.  Linear explode→count
+    shape — see repetition_stats docstring for why not a HOF projection."""
     from neo4j_graphrag_python_spark.operators.text_analysis import (
         repetition_stats,
     )

@@ -339,22 +339,29 @@ def repetition_stats(
     most frequent n-gram.  High values flag boilerplate/spam.  →
     (id, n_ngrams, top_ngram_count, top_ngram_frac).
 
-    All JVM HOFs: build the (non-distinct) n-gram array, then
-    ``aggregate`` over its distinct values counting occurrences — per-row
-    state bounded by the doc's distinct n-grams, no shuffle at all (one
-    codegen'd projection).
+    Shape: explode the n-gram array → count per (id, gram) → max/sum per
+    id.  This is LINEAR in document length — a distinct×occurrences HOF
+    projection would be shuffle-free but O(len²) per row, and one whale
+    document would pin its task (tried first, rejected).  The per-(id,
+    gram) counts partially aggregate map-side, so the shuffle carries
+    ~distinct grams per doc, and the second aggregation's input is one
+    row per distinct gram.  Docs shorter than n tokens survive via the
+    left join (0 grams, 0.0 fraction).
     """
-    grams = _ngram_array(_tokens(F.col(text_col)), n)
-    top = F.aggregate(
-        F.array_distinct(grams),
-        F.lit(0),
-        lambda acc, g: F.greatest(
-            acc, F.size(F.filter(grams, lambda x: x == g))
-        ),
-    )
-    n_ngrams = F.size(grams)
-    return df.select(
+    ids = df.select(F.col(id_col).alias("id"))
+    grams = df.select(
         F.col(id_col).alias("id"),
+        F.explode(_ngram_array(_tokens(F.col(text_col)), n)).alias("gram"),
+    )
+    per_gram = grams.groupBy("id", "gram").agg(F.count("*").alias("c"))
+    per_doc = per_gram.groupBy("id").agg(
+        F.sum("c").alias("n_ngrams"), F.max("c").alias("top")
+    )
+    joined = ids.join(per_doc, "id", "left")
+    n_ngrams = F.coalesce(F.col("n_ngrams"), F.lit(0))
+    top = F.coalesce(F.col("top"), F.lit(0))
+    return joined.select(
+        "id",
         n_ngrams.cast("long").alias("n_ngrams"),
         top.cast("long").alias("top_ngram_count"),
         F.round(

@@ -135,8 +135,19 @@ widths interleaved.
 
 Generated by scripts/bench_scaling.py.
 """
-    (REPO / "BENCH.md").write_text(md)
-    print("wrote BENCH.md", file=sys.stderr)
+    # splice: replace ONLY the scaling section (start of file through the
+    # "Generated by" marker line) and keep every later hand-written
+    # section (pipeline wall times, ANN curve, size scaling, round notes)
+    bench_path = REPO / "BENCH.md"
+    marker = "Generated by scripts/bench_scaling.py.\n"
+    if bench_path.exists():
+        old = bench_path.read_text()
+        idx = old.find(marker)
+        tail = old[idx + len(marker) :] if idx >= 0 else ""
+    else:
+        tail = ""
+    bench_path.write_text(md + tail)
+    print("wrote BENCH.md (scaling section spliced)", file=sys.stderr)
 
 
 if __name__ == "__main__":
