@@ -188,6 +188,259 @@ except Exception:  # pragma: no cover - testdata may be absent in CI
     PII_FIXTURE = str(tr.FIXTURE_ROOT / "sf0.01" / "pii_docs.parquet")
 
 
+def _read_sf001_embeddings() -> "dict[int, list[float]]":
+    import pyarrow.parquet as pq
+
+    emb = pq.read_table(
+        "/root/testdata/sf0.01/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+    ).to_pandas()
+    return {
+        int(i): [float(x) for x in v]
+        for i, v in zip(emb["vec_id"], emb["embedding"])
+    }
+
+
+def _fold_dot(a, b) -> float:
+    """Sequential left fold of products — the same order as the JVM HOF
+    ``aggregate(zip_with(a, b, x*y), 0.0, s+x)``, so signs agree exactly
+    and cosines agree far beyond the 6-dp comparison grain."""
+    s = 0.0
+    for x, y in zip(a, b):
+        s = s + x * y
+    return s
+
+
+def _cos6(a, b) -> float:
+    """Cosine rounded like Spark's round(_, 6) (HALF_UP on the shortest
+    decimal repr — Python's Decimal(repr(x)) mirrors Double.toString)."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    out = _fold_dot(a, b) / (
+        math.sqrt(_fold_dot(a, a)) * math.sqrt(_fold_dot(b, b))
+    )
+    return float(
+        Decimal(repr(out)).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+    )
+
+
+def _ensure_ann_fixture() -> str:
+    """Expected ann_topk_ivf output at sf0.01, computed offline in
+    straight-line Python: the same seeded hyperplanes (random.Random(42),
+    identical draw order), the same sign-fold bucketing, the same
+    ≤3-hamming probe set and rounded-cosine top-10 tie-broken by id.
+    ann_topk_ivf is approximate vs BRUTE FORCE but fully deterministic
+    given the seed — so the distributed bucketed probe path can be
+    value-pinned, not just row-counted.  Pinned to sf0.01 like the other
+    fixtures."""
+    out = tr.FIXTURE_ROOT / "sf0.01" / "ann_topk.parquet"
+    if not out.exists():
+        import itertools
+        import random
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        vecs = _read_sf001_embeddings()
+        q = vecs[0]
+        dim, num_planes, probe = len(q), 6, 3
+        rng = random.Random(42)
+        planes = [
+            [rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(num_planes)
+        ]
+
+        def bucket(v) -> int:
+            b = 0
+            for i, h in enumerate(planes):
+                if _fold_dot(v, h) >= 0:
+                    b |= 1 << i
+            return b
+
+        qb = bucket(q)
+        probes = {qb}
+        for r in range(1, probe + 1):
+            for flips in itertools.combinations(range(num_planes), r):
+                b = qb
+                for f in flips:
+                    b ^= 1 << f
+                probes.add(b)
+        cands = [i for i, v in vecs.items() if bucket(v) in probes]
+        scored = sorted(
+            ((i, _cos6(vecs[i], q)) for i in cands),
+            key=lambda t: (-t[1], t[0]),
+        )[:10]
+        out.parent.mkdir(parents=True, exist_ok=True)
+        pq.write_table(
+            pa.table(
+                {
+                    "id": pd_series_int64([s[0] for s in scored]),
+                    "score": [s[1] for s in scored],
+                }
+            ),
+            out,
+        )
+    return str(out)
+
+
+try:
+    ANN_FIXTURE = _ensure_ann_fixture()
+except Exception:  # pragma: no cover - testdata may be absent in CI
+    ANN_FIXTURE = str(tr.FIXTURE_ROOT / "sf0.01" / "ann_topk.parquet")
+
+
+def _ensure_elsh_fixture() -> str:
+    """Expected embedding_neardup_lsh output at sf0.01 computed offline:
+    identical (m, L) derivation (lsh_params_for), identical seeded plane
+    draws per table, sign-fold buckets, same-bucket-any-table candidate
+    pairing, rounded-cosine rescore at the same threshold.  Pins the
+    multi-table banding + candidate join + join-back rescore — the parts
+    with no SQL equivalent — against straight-line Python."""
+    out = tr.FIXTURE_ROOT / "sf0.01" / "elsh_pairs.parquet"
+    if not out.exists():
+        import random
+        from collections import defaultdict
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from neo4j_graphrag_python_spark.operators.dedup import lsh_params_for
+
+        threshold, target_recall = 0.4, 0.95
+        vecs = _read_sf001_embeddings()
+        dim = len(next(iter(vecs.values())))
+        m, L = lsh_params_for(threshold, target_recall)
+        rng = random.Random(42)
+        pairs: set[tuple[int, int]] = set()
+        for _t in range(L):
+            planes = [
+                [rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(m)
+            ]
+            buckets: dict[int, list[int]] = defaultdict(list)
+            for i, v in vecs.items():
+                b = 0
+                for pi, h in enumerate(planes):
+                    if _fold_dot(v, h) >= 0:
+                        b |= 1 << pi
+                buckets[b].append(i)
+            for members in buckets.values():
+                members.sort()
+                for ai in range(len(members)):
+                    for bi in range(ai + 1, len(members)):
+                        pairs.add((members[ai], members[bi]))
+        rows = sorted(
+            (a, b, _cos6(vecs[a], vecs[b]))
+            for a, b in pairs
+            if _cos6(vecs[a], vecs[b]) >= threshold
+        )
+        out.parent.mkdir(parents=True, exist_ok=True)
+        pq.write_table(
+            pa.table(
+                {
+                    "id_a": pd_series_int64([r[0] for r in rows]),
+                    "id_b": pd_series_int64([r[1] for r in rows]),
+                    "cosine": [r[2] for r in rows],
+                }
+            ),
+            out,
+        )
+    return str(out)
+
+
+try:
+    ELSH_FIXTURE = _ensure_elsh_fixture()
+except Exception:  # pragma: no cover - testdata may be absent in CI
+    ELSH_FIXTURE = str(tr.FIXTURE_ROOT / "sf0.01" / "elsh_pairs.parquet")
+
+
+def _ensure_minhash_fixture() -> str:
+    """Expected dedup_minhash_pairs output at sf0.01, computed offline in
+    straight-line Python with a pure-Python XXH64 that is bit-compatible
+    with Spark's ``xxhash64`` (parity asserted in tests): same shingling,
+    same 96 per-seed signature minima, same 32-band bucketing (grouped by
+    the band's signature slice — bucket-hash equality ⟺ slice equality),
+    same exact-Jaccard rescore at the same threshold.  This was the LAST
+    rows-only-by-nature query: banding has no SQL equivalent, but it has
+    a deterministic straight-line equivalent, so the distributed path is
+    value-pinned like everything else."""
+    out = tr.FIXTURE_ROOT / "sf0.01" / "minhash_pairs.parquet"
+    if not out.exists():
+        from collections import defaultdict
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from neo4j_graphrag_python_spark.functions.xxhash import spark_xxhash64
+
+        num_hashes, bands, k, thr = 96, 32, 5, 0.4
+        rows_per_band = num_hashes // bands
+        docs = pq.read_table(
+            "/root/testdata/sf0.01/documents.parquet", columns=["doc_id", "text"]
+        ).to_pandas()
+        cache: dict[str, list[int]] = {}
+
+        def hashes_for(s: str) -> list[int]:
+            if s not in cache:
+                cache[s] = [
+                    spark_xxhash64(s, seed) for seed in range(num_hashes)
+                ]
+            return cache[s]
+
+        sigs: dict[int, list[int]] = {}
+        texts: dict[int, str] = {}
+        for did, text in zip(docs["doc_id"], docs["text"]):
+            did = int(did)
+            norm = (text or "").lower()
+            n_sh = max(len(norm) - (k - 1), 1)
+            shingles = {norm[i : i + k] for i in range(n_sh)}
+            per_seed = [min(hashes_for(s)[j] for s in shingles)
+                        for j in range(num_hashes)]
+            sigs[did] = per_seed
+            texts[did] = norm
+        buckets: dict[tuple, list[int]] = defaultdict(list)
+        for did, sig in sigs.items():
+            for b in range(bands):
+                key = (b, tuple(sig[b * rows_per_band : (b + 1) * rows_per_band]))
+                buckets[key].append(did)
+        pairs: set[tuple[int, int]] = set()
+        for members in buckets.values():
+            members.sort()
+            for ai in range(len(members)):
+                for bi in range(ai + 1, len(members)):
+                    pairs.add((members[ai], members[bi]))
+
+        def shset(t: str) -> set:
+            if len(t) < k:
+                return {t}
+            return {t[i : i + k] for i in range(len(t) - k + 1)}
+
+        rows = []
+        for a, b in sorted(pairs):
+            sa, sb = shset(texts[a]), shset(texts[b])
+            union = len(sa | sb)
+            j = (len(sa & sb) / union) if union else 1.0
+            if j >= thr:
+                rows.append((a, b, j))
+        out.parent.mkdir(parents=True, exist_ok=True)
+        pq.write_table(
+            pa.table(
+                {
+                    "id_a": pd_series_int64([r[0] for r in rows]),
+                    "id_b": pd_series_int64([r[1] for r in rows]),
+                    "jaccard": [r[2] for r in rows],
+                }
+            ),
+            out,
+        )
+    return str(out)
+
+
+try:
+    MINHASH_FIXTURE = _ensure_minhash_fixture()
+except Exception:  # pragma: no cover - testdata may be absent in CI
+    MINHASH_FIXTURE = str(tr.FIXTURE_ROOT / "sf0.01" / "minhash_pairs.parquet")
+
+
 
 # chunking used by the oracle-checked queries (chunk-overlap-safe for the
 # planted sentences; see transcripts.py docstring)
@@ -695,11 +948,12 @@ def q_doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs over the documents table at the same
-    threshold/corpus as ``dedup_jaccard_exact`` (rows-only: banding has no
-    SQL equivalent, but because every emitted pair is exact-Jaccard
-    rescored, this result must be a subset of — and per the tested recall
-    gate, ≥0.9 of — the dedup_jaccard_exact oracle rows; the judge can
-    compare the two result sets directly)."""
+    threshold/corpus as ``dedup_jaccard_exact``.  Hash-checked against
+    MINHASH_FIXTURE: an offline replication using the bit-compatible
+    pure-Python XXH64 (functions/xxhash.py) — signatures, banding,
+    candidate join and exact-Jaccard rescore all value-pinned.  The
+    result also remains a subset of the dedup_jaccard_exact oracle rows
+    (recall ≥0.9 gated in tests)."""
     from neo4j_graphrag_python_spark.operators.dedup import minhash_dedup_pairs
 
     return minhash_dedup_pairs(
@@ -787,9 +1041,10 @@ def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH/IVF-bucketed approximate top-k (rows-only: approximate by
-    design; recall vs the brute-force oracle is asserted in tests).
-    Shipped at probe_hamming=3 — the higher-recall point of the
+    """LSH/IVF-bucketed approximate top-k — approximate vs BRUTE FORCE
+    (recall asserted in tests) but deterministic given the seed, so it is
+    hash-checked against ANN_FIXTURE (offline replication of bucketing,
+    probing and rounded-cosine ranking).  Shipped at probe_hamming=3 — the higher-recall point of the
     BENCH.md recall/probe curve (0.835 on the adversarial random-vector
     fixture; clustered real embeddings sit far above it), instead of the
     0.58-recall probe=2 corner."""
@@ -1019,6 +1274,20 @@ SELECT label, name FROM read_parquet('{FUZZY_FIXTURE}')
 SELECT id, fingerprint FROM read_parquet('{FINGERPRINTS_FIXTURE}')
 """,
         "doc_pii_scrub": _pii_oracle_sql(),
+        # offline straight-line replications of the seeded LSH paths —
+        # approximate vs brute force but DETERMINISTIC given the seed, so
+        # the distributed banding/probe/rescore is value-pinned
+        "ann_topk_ivf": f"""
+SELECT id, score FROM read_parquet('{ANN_FIXTURE}')
+""",
+        "embedding_neardup_lsh": f"""
+SELECT id_a, id_b, cosine FROM read_parquet('{ELSH_FIXTURE}')
+""",
+        # offline replication with a Spark-bit-compatible pure-Python
+        # XXH64 (functions/xxhash.py; parity asserted in tests)
+        "dedup_minhash_pairs": f"""
+SELECT id_a, id_b, jaccard FROM read_parquet('{MINHASH_FIXTURE}')
+""",
         "doc_contamination": r"""
 WITH t AS (
   SELECT doc_id AS id,

@@ -406,3 +406,31 @@ def test_embedding_lsh_explode_carries_no_vectors(spark) -> None:
                     assert "embedding#" not in line and " v#" not in line, line
                     checked += 1
     assert checked >= 2, plan[:2000]  # both join sides' exchanges seen
+
+
+def test_pure_python_xxh64_matches_spark(spark) -> None:
+    """functions/xxhash.py must be bit-compatible with F.xxhash64 — it
+    backs the offline minhash oracle fixture.  Cases cover every XXH64
+    tail class (0-7 residual bytes), the ≥32-byte stripe path, unicode,
+    and the chained int-literal seeding minhash_signatures uses."""
+    from pyspark.sql import functions as F
+
+    from neo4j_graphrag_python_spark.functions.xxhash import spark_xxhash64
+
+    cases = [
+        "", "a", "ab", "abc", "abcd", "abcde", "abcdef", "abcdefg",
+        "abcdefgh", "abcdefghi",
+        "a rather longer string that exceeds thirty-two bytes easily",
+        "héllo ünïcode ↯",
+    ]
+    df = spark.createDataFrame([(s,) for s in cases], ["s"])
+    rows = df.select(
+        "s",
+        F.xxhash64("s").alias("h0"),
+        F.xxhash64("s", F.lit(0)).alias("hs0"),
+        F.xxhash64("s", F.lit(95)).alias("hs95"),
+    ).collect()
+    for r in rows:
+        assert spark_xxhash64(r["s"]) == r["h0"], r["s"]
+        assert spark_xxhash64(r["s"], 0) == r["hs0"], r["s"]
+        assert spark_xxhash64(r["s"], 95) == r["hs95"], r["s"]
