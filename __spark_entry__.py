@@ -188,6 +188,16 @@ except Exception:  # pragma: no cover - testdata may be absent in CI
     PII_FIXTURE = str(tr.FIXTURE_ROOT / "sf0.01" / "pii_docs.parquet")
 
 
+# operating points shared by the offline fixture builders AND the q_*
+# queries below — one source of truth, so tuning a query parameter cannot
+# silently desync it from its cached oracle fixture (delete the
+# .fixtures parquet after changing any of these)
+ANN_NUM_PLANES, ANN_PROBE, ANN_K = 6, 3, 10
+ELSH_THRESHOLD, ELSH_TARGET_RECALL = 0.4, 0.95
+MINHASH_NUM_HASHES, MINHASH_BANDS = 96, 32
+MINHASH_SHINGLE_K, MINHASH_THRESHOLD = 5, 0.4
+
+
 def _read_sf001_embeddings() -> "dict[int, list[float]]":
     import pyarrow.parquet as pq
 
@@ -244,7 +254,7 @@ def _ensure_ann_fixture() -> str:
 
         vecs = _read_sf001_embeddings()
         q = vecs[0]
-        dim, num_planes, probe = len(q), 6, 3
+        dim, num_planes, probe = len(q), ANN_NUM_PLANES, ANN_PROBE
         rng = random.Random(42)
         planes = [
             [rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(num_planes)
@@ -269,7 +279,7 @@ def _ensure_ann_fixture() -> str:
         scored = sorted(
             ((i, _cos6(vecs[i], q)) for i in cands),
             key=lambda t: (-t[1], t[0]),
-        )[:10]
+        )[:ANN_K]
         out.parent.mkdir(parents=True, exist_ok=True)
         pq.write_table(
             pa.table(
@@ -306,7 +316,7 @@ def _ensure_elsh_fixture() -> str:
 
         from neo4j_graphrag_python_spark.operators.dedup import lsh_params_for
 
-        threshold, target_recall = 0.4, 0.95
+        threshold, target_recall = ELSH_THRESHOLD, ELSH_TARGET_RECALL
         vecs = _read_sf001_embeddings()
         dim = len(next(iter(vecs.values())))
         m, L = lsh_params_for(threshold, target_recall)
@@ -328,11 +338,8 @@ def _ensure_elsh_fixture() -> str:
                 for ai in range(len(members)):
                     for bi in range(ai + 1, len(members)):
                         pairs.add((members[ai], members[bi]))
-        rows = sorted(
-            (a, b, _cos6(vecs[a], vecs[b]))
-            for a, b in pairs
-            if _cos6(vecs[a], vecs[b]) >= threshold
-        )
+        scored = ((a, b, _cos6(vecs[a], vecs[b])) for a, b in pairs)
+        rows = sorted(r for r in scored if r[2] >= threshold)
         out.parent.mkdir(parents=True, exist_ok=True)
         pq.write_table(
             pa.table(
@@ -372,7 +379,8 @@ def _ensure_minhash_fixture() -> str:
 
         from neo4j_graphrag_python_spark.functions.xxhash import spark_xxhash64
 
-        num_hashes, bands, k, thr = 96, 32, 5, 0.4
+        num_hashes, bands = MINHASH_NUM_HASHES, MINHASH_BANDS
+        k, thr = MINHASH_SHINGLE_K, MINHASH_THRESHOLD
         rows_per_band = num_hashes // bands
         docs = pq.read_table(
             "/root/testdata/sf0.01/documents.parquet", columns=["doc_id", "text"]
@@ -957,7 +965,11 @@ def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from neo4j_graphrag_python_spark.operators.dedup import minhash_dedup_pairs
 
     return minhash_dedup_pairs(
-        _read(spark, sf_dir, "documents"), shingle_k=5, jaccard_threshold=0.4
+        _read(spark, sf_dir, "documents"),
+        num_hashes=MINHASH_NUM_HASHES,
+        bands=MINHASH_BANDS,
+        shingle_k=MINHASH_SHINGLE_K,
+        jaccard_threshold=MINHASH_THRESHOLD,
     )
 
 
@@ -989,13 +1001,16 @@ def q_dedup_jaccard_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketed (random-hyperplane LSH) embedding near-dup — the scale
     path replacing the all-pairs theta join; exact-cosine rescored, recall
-    vs the all-pairs baseline asserted in tests (rows-only: banding has no
-    SQL equivalent)."""
+    vs the all-pairs baseline asserted in tests.  Hash-checked against
+    ELSH_FIXTURE (offline seeded replication of the multi-table banding,
+    candidate join and rounded-cosine rescore)."""
     from neo4j_graphrag_python_spark.operators.dedup import embedding_neardup_lsh
 
     emb = _read(spark, sf_dir, "embeddings")
     dim = len(emb.select("embedding").head()["embedding"])
-    return embedding_neardup_lsh(emb, dim=dim, threshold=0.4, target_recall=0.95)
+    return embedding_neardup_lsh(
+        emb, dim=dim, threshold=ELSH_THRESHOLD, target_recall=ELSH_TARGET_RECALL
+    )
 
 
 def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1055,8 +1070,8 @@ def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _read(spark, sf_dir, "embeddings")
     qv = emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
-    indexed, planes = build_ann_index(emb, dim=len(qv), num_planes=6)
-    return topk_ann(indexed, planes, qv, k=10, probe_hamming=3)
+    indexed, planes = build_ann_index(emb, dim=len(qv), num_planes=ANN_NUM_PLANES)
+    return topk_ann(indexed, planes, qv, k=ANN_K, probe_hamming=ANN_PROBE)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -66,8 +66,14 @@ def minhash_signatures(
     Stays fully JVM-side: shingles via sequence/transform/substring HOFs,
     per-seed min via aggregate().  num_hashes seeds ⇒ num_hashes column
     passes, fused by codegen into one projection.
+
+    NULL texts coalesce to '' (matching exact_jaccard_pairs and the
+    offline oracle fixture): without it a NULL row's shingle array is
+    [NULL] and xxhash64 skips the null argument — a different signature
+    than the empty string's, diverging from every other text treatment
+    in this module.
     """
-    norm = F.lower(F.col(text_col))
+    norm = F.lower(F.coalesce(F.col(text_col), F.lit("")))
     n_sh = F.greatest(F.length(norm) - F.lit(shingle_k - 1), F.lit(1))
     shingles = F.transform(
         F.sequence(F.lit(1), n_sh), lambda i: norm.substr(i, F.lit(shingle_k))

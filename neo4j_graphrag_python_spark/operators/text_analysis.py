@@ -209,7 +209,9 @@ def doc_fingerprints(
 # (unicode semantics differ across engines).  Order matters: URLs before
 # emails (a URL may contain '@'), emails before phones (digits in hosts).
 PII_PATTERNS: "list[tuple[str, str, str]]" = [
-    ("url", r"https?://[^\s]+", "<URL>"),
+    # explicit whitespace class: Java's \s includes \x0B, RE2's does not —
+    # [^\s] would silently diverge between Spark and the DuckDB oracle
+    ("url", "https?://[^ \\t\\n\\r\\f]+", "<URL>"),
     (
         "email",
         r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+",
@@ -236,7 +238,9 @@ def pii_scrub(
     Counts are computed BEFORE replacement (on the original text) so a
     later pattern can't hide an earlier kind's matches.
     """
-    pats = patterns or PII_PATTERNS
+    # `or` would silently swap an explicit empty pattern list (meaning
+    # "scrub nothing") for the defaults
+    pats = patterns if patterns is not None else PII_PATTERNS
     text = F.coalesce(F.col(text_col), F.lit(""))
     cols = [F.col(id_col).alias("id")]
     for kind, rx, _repl in pats:

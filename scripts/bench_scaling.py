@@ -143,7 +143,15 @@ Generated by scripts/bench_scaling.py.
     if bench_path.exists():
         old = bench_path.read_text()
         idx = old.find(marker)
-        tail = old[idx + len(marker) :] if idx >= 0 else ""
+        if idx < 0:
+            # refuse to guess: a missing marker would silently wipe every
+            # hand-written section after the splice point
+            raise SystemExit(
+                f"BENCH.md exists but lacks the splice marker {marker!r}; "
+                "refusing to overwrite hand-written sections — restore the "
+                "marker line or remove BENCH.md."
+            )
+        tail = old[idx + len(marker) :]
     else:
         tail = ""
     bench_path.write_text(md + tail)

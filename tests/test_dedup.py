@@ -434,3 +434,15 @@ def test_pure_python_xxh64_matches_spark(spark) -> None:
         assert spark_xxhash64(r["s"]) == r["h0"], r["s"]
         assert spark_xxhash64(r["s"], 0) == r["hs0"], r["s"]
         assert spark_xxhash64(r["s"], 95) == r["hs95"], r["s"]
+
+
+def test_minhash_null_text_equals_empty(spark) -> None:
+    """NULL text must hash like '' (coalesce in minhash_signatures) —
+    without it the shingle array is [NULL] and xxhash64 skips the null
+    argument, silently diverging from every other text treatment (and
+    from the offline oracle fixture)."""
+    df = spark.createDataFrame(
+        [(1, None), (2, "")], "doc_id bigint, text string"
+    )
+    sigs = {r["id"]: r["sig"] for r in minhash_signatures(df, num_hashes=8).collect()}
+    assert sigs[1] == sigs[2]

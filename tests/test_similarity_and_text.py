@@ -427,7 +427,7 @@ def test_contamination_scores_overlap(spark) -> None:
         [
             # identical → all grams hit
             (1, "one two three four five six seven eight nine ten"),
-            # shares the first 8 words then diverges: 2 of 3 grams hit
+            # shares the first 8 words then diverges: 1 of 3 grams hits
             (2, "one two three four five six seven eight X Y"),
             # disjoint
             (3, "a b c d e f g h i j"),
