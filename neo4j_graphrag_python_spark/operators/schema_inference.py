@@ -345,16 +345,30 @@ def describe_graph(
             F.col("properties").getItem("name")
         ).alias("n_distinct_names"),
     )
-    node_props = (
-        nodes.select("label", F.explode(F.col("properties")).alias("property", "value"))
+    from pyspark.sql import Window
+
+    kv = nodes.select(
+        "label", F.explode(F.col("properties")).alias("property", "value")
+    )
+    stats = kv.groupBy("label", "property").agg(
+        F.count("*").alias("n"),
+        F.approx_count_distinct("value").alias("n_distinct"),
+    )
+    # bounded sample: distinct BEFORE any collect — slice(collect_set(...))
+    # still materializes every distinct value per group in the aggregation
+    # buffer, which is unbounded state for high-cardinality properties
+    w = Window.partitionBy("label", "property").orderBy("value")
+    sampled = (
+        kv.where(F.col("value").isNotNull())
+        .distinct()
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= sample_values)
         .groupBy("label", "property")
-        .agg(
-            F.count("*").alias("n"),
-            F.approx_count_distinct("value").alias("n_distinct"),
-            F.slice(F.collect_set("value"), 1, sample_values).alias(
-                "sample_values"
-            ),
-        )
+        .agg(F.collect_list("value").alias("sample_values"))
+    )
+    node_props = stats.join(sampled, ["label", "property"], "left").withColumn(
+        "sample_values",
+        F.coalesce("sample_values", F.array().cast("array<string>")),
     )
     rel_types = edges.groupBy("type").agg(F.count("*").alias("n_edges"))
     nl = nodes.select(F.col("id").alias("_nid"), F.col("label"))
