@@ -49,6 +49,36 @@ class LLMGenerationError(RuntimeError):
 
 _RETRYABLE = {429, 500, 502, 503, 504}
 
+#: Prefix marking a per-prompt transport failure captured by
+#: ``complete_batch``.  The NUL bytes cannot appear in real model output
+#: (JSON strings escape them), so downstream parsers can detect captured
+#: failures unambiguously: ``parse_extraction`` maps a sentinel string to
+#: an ``ExtractionError`` carrying the transport message, which the
+#: extractor's OnError handling turns into a ``status='error:…'`` row
+#: (IGNORE) or a task failure (RAISE) — the reference's OnError contract
+#: (entity_relation_extractor.py:218-226) extended to the transport
+#: layer, where one bad prompt must not fail a whole Arrow batch.
+LLM_ERROR_SENTINEL = "\x00LLMGenerationError\x00"
+
+
+@dataclass
+class ToolCall:
+    """One tool invocation requested by the model (reference
+    llm/types.py ToolCall: name + parsed-JSON arguments)."""
+
+    name: str
+    arguments: dict
+
+
+@dataclass
+class ToolCallResponse:
+    """Reference llm/types.py ToolCallResponse: the model's tool calls
+    plus optional assistant text (``content`` is None/"" when the model
+    went straight to tools — the case a plain ``complete`` rejects)."""
+
+    tool_calls: list[ToolCall]
+    content: str | None = None
+
 
 @dataclass
 class OpenAICompatClient:
@@ -70,6 +100,7 @@ class OpenAICompatClient:
     max_concurrency: int = 8
     system_instruction: str | None = None
     extra_params: dict = field(default_factory=dict)
+    capture_errors: bool = True
 
     # -- wire ------------------------------------------------------------
 
@@ -94,6 +125,15 @@ class OpenAICompatClient:
                     raise LLMGenerationError(
                         f"{url} returned {e.code}: {e.read()[:500]!r}"
                     ) from e
+                # drain + close the retryable error response NOW — holding
+                # its socket through the backoff sleep accumulates open
+                # connections under repeated 429s in a 10^5-task stage
+                try:
+                    e.read()
+                except OSError:
+                    pass
+                finally:
+                    e.close()
             except (urllib.error.URLError, TimeoutError, OSError) as e:
                 last_err = e
             if attempt < self.max_retries:
@@ -133,15 +173,115 @@ class OpenAICompatClient:
     def complete_batch(self, prompts: list[str]) -> list[str]:
         """Arrow-batch fan-out over a bounded thread pool — the
         ``llm_batch_fn`` shape ``llm_extractor`` consumes.  Order
-        preserved; one failed prompt fails the batch (the extractor's
-        OnError handling decides what that means for the task)."""
+        preserved.
+
+        Per-prompt failure isolation (``capture_errors=True``, default):
+        a prompt whose request fails non-retryably (or exhausts retries)
+        yields an ``LLM_ERROR_SENTINEL``-prefixed string instead of
+        raising, so ONE bad prompt cannot fail the whole Arrow batch →
+        task → stage.  ``parse_extraction`` recognizes the sentinel and
+        raises ``ExtractionError`` with the transport message, which
+        OnError.IGNORE absorbs as a ``status='error:…'`` row and
+        OnError.RAISE propagates as a task failure — transport errors now
+        get exactly the reference's parse-error treatment
+        (entity_relation_extractor.py:218-226).  Set
+        ``capture_errors=False`` to get fail-fast batches (the first
+        failure raises, as rounds ≤3 behaved)."""
         if not prompts:
             return []
+
+        fn = self.complete
+        if self.capture_errors:
+
+            def fn(p: str) -> str:  # noqa: F811 - deliberate wrapper
+                try:
+                    return self.complete(p)
+                except LLMGenerationError as e:
+                    return LLM_ERROR_SENTINEL + str(e)
+
         workers = max(1, min(self.max_concurrency, len(prompts)))
         if workers == 1:
-            return [self.complete(p) for p in prompts]
+            return [fn(p) for p in prompts]
         with ThreadPoolExecutor(max_workers=workers) as pool:
-            return list(pool.map(self.complete, prompts))
+            return list(pool.map(fn, prompts))
+
+    # -- LLMInterface.invoke_with_tools analog -----------------------------
+
+    def _tool_payload(self, tool) -> dict:
+        """tools.Tool → OpenAI wire format (reference openai_llm.py
+        _convert_tool_to_openai_format:106-125) — duck-typed on the
+        get_name/get_description/get_parameters contract."""
+        try:
+            return {
+                "type": "function",
+                "function": {
+                    "name": tool.get_name(),
+                    "description": tool.get_description(),
+                    "parameters": tool.get_parameters(),
+                },
+            }
+        except AttributeError as e:
+            raise LLMGenerationError(
+                f"Tool {tool} is not a valid Tool object"
+            ) from e
+
+    def complete_with_tools(
+        self, prompt: str, tools, tool_choice: str = "auto"
+    ) -> ToolCallResponse:
+        """Send the prompt with tool definitions; parse the model's tool
+        calls (reference LLMInterface.invoke_with_tools, llm/base.py:90-115,
+        with the OpenAI handling of openai_llm.py:161-230):
+
+        * no ``tool_calls`` in the reply → a plain-text
+          ``ToolCallResponse(tool_calls=[], content=text or "")``;
+        * otherwise every call's JSON ``arguments`` string is parsed
+          (unparseable arguments raise LLMGenerationError, like the
+          reference's json.loads guard at openai_llm.py:219-224), and
+          ``content`` may be None — the case ``complete`` rejects.
+        """
+        messages = []
+        if self.system_instruction:
+            messages.append(
+                {"role": "system", "content": self.system_instruction}
+            )
+        messages.append({"role": "user", "content": prompt})
+        out = self._post(
+            "/chat/completions",
+            {
+                "model": self.model,
+                "messages": messages,
+                "tools": [self._tool_payload(t) for t in tools],
+                "tool_choice": tool_choice,
+                **self.extra_params,
+            },
+        )
+        try:
+            message = out["choices"][0]["message"]
+            raw_calls = message.get("tool_calls") or []
+        except (KeyError, IndexError, TypeError, AttributeError) as e:
+            raise LLMGenerationError(f"malformed completion payload: {out}") from e
+        if not raw_calls:
+            return ToolCallResponse(
+                tool_calls=[], content=message.get("content") or ""
+            )
+        calls = []
+        for tc in raw_calls:
+            fn_part = (tc or {}).get("function") or {}
+            try:
+                args = json.loads(fn_part.get("arguments") or "{}")
+            except json.JSONDecodeError as e:
+                raise LLMGenerationError(
+                    f"Failed to parse tool call arguments: {e}"
+                ) from e
+            name = fn_part.get("name")
+            if not isinstance(name, str) or not name:
+                raise LLMGenerationError(f"tool call missing function name: {tc}")
+            if not isinstance(args, dict):
+                raise LLMGenerationError(
+                    f"tool call arguments must be an object, got: {args!r}"
+                )
+            calls.append(ToolCall(name=name, arguments=args))
+        return ToolCallResponse(tool_calls=calls, content=message.get("content"))
 
     # -- Embedder analog ---------------------------------------------------
 

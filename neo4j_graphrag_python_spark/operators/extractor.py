@@ -166,7 +166,19 @@ def parse_extraction(raw: str) -> dict:
     Raises ExtractionError on unfixable JSON or contract violations, exactly
     where the reference raises LLMGenerationError
     (entity_relation_extractor.py:216-237): callers map it through OnError.
+
+    A per-prompt transport failure captured by
+    ``OpenAICompatClient.complete_batch`` arrives as an
+    ``LLM_ERROR_SENTINEL``-prefixed string; it raises here with the
+    transport message so OnError decides its fate like any parse error
+    (IGNORE → status row, RAISE → task failure).
     """
+    from neo4j_graphrag_python_spark.llm import LLM_ERROR_SENTINEL
+
+    if isinstance(raw, str) and raw.startswith(LLM_ERROR_SENTINEL):
+        raise ExtractionError(
+            f"llm transport error: {raw[len(LLM_ERROR_SENTINEL):]}"
+        )
     try:
         # fast path: well-formed model output (the common case) — one parse
         result = json.loads(raw)

@@ -47,6 +47,58 @@ class Text2SqlRetrievalError(RuntimeError):
 _FENCE = re.compile(r"```(.*?)```", re.DOTALL)
 _LANG_TAG = re.compile(r"^\s*(sql|spark\s*sql|cypher)\b[ \t]*\n", re.IGNORECASE)
 
+# ---------------------------------------------------------------------------
+# read-only guard — unlike the reference's text2cypher, where Neo4j can
+# enforce read-only routing server-side, spark.sql() runs DDL/DML with full
+# session privileges, so the guard must live in code
+# ---------------------------------------------------------------------------
+
+_READONLY_FIRST = re.compile(r"^\s*(?:select|with)\b", re.IGNORECASE)
+# Write verbs that must not appear anywhere: Spark's grammar admits
+# `WITH cte AS (...) INSERT INTO ...` (ctes before dmlStatementNoWith), so
+# a first-token whitelist alone is not sufficient.  Conservative by design:
+# a column literally named `insert` would false-positive — renaming it is
+# cheaper than an INSERT OVERWRITE running with session privileges.
+_WRITE_VERB = re.compile(
+    r"\b(?:insert|update|delete|merge|drop|create|alter|truncate|overwrite"
+    r"|load|grant|revoke|vacuum|optimize|msck|refresh|uncache|cache|call)\b",
+    re.IGNORECASE,
+)
+_SQL_COMMENT = re.compile(r"--[^\n]*|/\*.*?\*/", re.DOTALL)
+
+
+def assert_read_only_sql(sql: str) -> str:
+    """Reject anything that is not a single SELECT/WITH read statement.
+
+    Raises Text2SqlRetrievalError on: empty output, a statement whose
+    first token is not SELECT/WITH, an internal statement separator
+    (``;`` anywhere but trailing), or a write/DDL verb anywhere in the
+    de-commented text.  Returns the input unchanged when it passes, so
+    callers can inline it.  A hallucinated or prompt-injected
+    ``DROP TABLE`` / ``INSERT OVERWRITE`` must fail HERE, not execute.
+    """
+    stripped = _SQL_COMMENT.sub(" ", sql or "").strip()
+    if not stripped:
+        raise Text2SqlRetrievalError("Failed to get search result: empty SQL")
+    body = stripped.rstrip(";").strip()
+    if ";" in body:
+        raise Text2SqlRetrievalError(
+            "Failed to get search result: multi-statement SQL rejected "
+            f"(read-only guard): {sql!r}"
+        )
+    if not _READONLY_FIRST.match(body):
+        raise Text2SqlRetrievalError(
+            "Failed to get search result: only SELECT/WITH statements are "
+            f"allowed (read-only guard): {sql!r}"
+        )
+    m = _WRITE_VERB.search(body)
+    if m:
+        raise Text2SqlRetrievalError(
+            f"Failed to get search result: write verb {m.group(0)!r} "
+            f"rejected (read-only guard): {sql!r}"
+        )
+    return sql
+
 
 def extract_sql(text: str) -> str:
     """Extract the query from model output.
@@ -177,9 +229,12 @@ class Text2SqlRetriever:
       * optional examples list joined by newlines into the prompt;
       * optional custom_prompt replacing the default template;
       * search-time prompt_params may override schema/examples;
-      * the generated query is fence-stripped (extract_sql) and executed;
-        ParseException surfaces as Text2SqlRetrievalError with the Spark
-        message, like CypherSyntaxError → Text2CypherRetrievalError.
+      * the generated query is fence-stripped (extract_sql), checked by
+        the read-only guard (assert_read_only_sql — Neo4j enforces
+        read-only routing server-side; Spark cannot, so the guard is in
+        code), and executed; ParseException surfaces as
+        Text2SqlRetrievalError with the Spark message, like
+        CypherSyntaxError → Text2CypherRetrievalError.
     """
 
     def __init__(
@@ -220,7 +275,7 @@ class Text2SqlRetriever:
             schema=schema, examples=examples, query_text=query_text, **params
         )
         raw = self.llm_fn(prompt)
-        sql = extract_sql(raw)
+        sql = assert_read_only_sql(extract_sql(raw))
         try:
             records = self.spark.sql(sql)
         except Exception as e:

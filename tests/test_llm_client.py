@@ -16,15 +16,19 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 import pytest
 
 from neo4j_graphrag_python_spark.llm import (
+    LLM_ERROR_SENTINEL,
     LLMGenerationError,
     OpenAICompatClient,
+    ToolCall,
+    ToolCallResponse,
 )
 
 
 class _Fake(BaseHTTPRequestHandler):
     fail_next: list[int] = []  # status codes to emit before succeeding
     seen_auth: list[str] = []
-    mode: str = "echo"  # echo | null_content | dup_index
+    seen_tools: list[dict] = []  # tool payloads of /chat/completions calls
+    mode: str = "echo"  # echo | null_content | dup_index | tool_call | bad_args
 
     def log_message(self, *a):  # quiet
         pass
@@ -41,12 +45,54 @@ class _Fake(BaseHTTPRequestHandler):
         payload = json.loads(self.rfile.read(n))
         if self.path.endswith("/chat/completions"):
             prompt = payload["messages"][-1]["content"]
-            content = None if _Fake.mode == "null_content" else f"ECHO:{prompt}"
-            body = {
-                "choices": [
-                    {"message": {"role": "assistant", "content": content}}
-                ]
-            }
+            if "FAILME" in prompt:
+                # deterministic per-prompt non-retryable failure — lets a
+                # threaded batch fail exactly one prompt regardless of
+                # request arrival order
+                self.send_response(400)
+                self.end_headers()
+                self.wfile.write(b"bad prompt")
+                return
+            if "tools" in payload:
+                _Fake.seen_tools.append(
+                    {"tools": payload["tools"],
+                     "tool_choice": payload.get("tool_choice")}
+                )
+            if _Fake.mode == "tool_call":
+                # content:null + tool_calls — the real shape a tool-capable
+                # model returns (the case plain complete() rejects)
+                message = {
+                    "role": "assistant",
+                    "content": None,
+                    "tool_calls": [
+                        {"id": "call_1", "type": "function",
+                         "function": {
+                             "name": "search_kg",
+                             "arguments": json.dumps(
+                                 {"query_text": prompt, "top_k": 3}
+                             ),
+                         }},
+                        {"id": "call_2", "type": "function",
+                         "function": {"name": "search_kg",
+                                      "arguments": "{}"}},
+                    ],
+                }
+            elif _Fake.mode == "bad_args":
+                message = {
+                    "role": "assistant",
+                    "content": None,
+                    "tool_calls": [
+                        {"id": "call_1", "type": "function",
+                         "function": {"name": "search_kg",
+                                      "arguments": "{not json"}},
+                    ],
+                }
+            else:
+                content = (
+                    None if _Fake.mode == "null_content" else f"ECHO:{prompt}"
+                )
+                message = {"role": "assistant", "content": content}
+            body = {"choices": [{"message": message}]}
         elif self.path.endswith("/embeddings"):
             data = [
                 # deterministic 4-dim embedding from the text
@@ -142,6 +188,135 @@ def test_system_instruction_in_messages(base_url) -> None:
     c = client(base_url, system_instruction="be terse")
     # echo returns the LAST (user) message; the call simply must succeed
     assert c.complete("q") == "ECHO:q"
+
+
+def test_batch_captures_per_prompt_failure(base_url) -> None:
+    """One non-retryable 400 in a threaded batch yields a sentinel string
+    for THAT prompt only — the other prompts' completions survive."""
+    outs = client(base_url).complete_batch(["p0", "FAILME now", "p2"])
+    assert outs[0] == "ECHO:p0" and outs[2] == "ECHO:p2"
+    assert outs[1].startswith(LLM_ERROR_SENTINEL) and "400" in outs[1]
+
+
+def test_batch_capture_errors_false_fails_fast(base_url) -> None:
+    with pytest.raises(LLMGenerationError, match="400"):
+        client(base_url, capture_errors=False).complete_batch(
+            ["p0", "FAILME now", "p2"]
+        )
+
+
+def test_sentinel_becomes_status_row_or_task_failure() -> None:
+    """parse_extraction maps the sentinel to ExtractionError carrying the
+    transport message (OnError decides: IGNORE → status row, RAISE →
+    task failure)."""
+    from neo4j_graphrag_python_spark.operators.extractor import (
+        ExtractionError,
+        parse_extraction,
+    )
+
+    with pytest.raises(ExtractionError, match="llm transport error: boom 400"):
+        parse_extraction(LLM_ERROR_SENTINEL + "boom 400")
+
+
+def test_extractor_isolates_bad_prompt(spark, base_url) -> None:
+    """End-to-end OnError contract over the transport layer
+    (VERDICT r3 #1): a 3-chunk batch with one failing prompt produces the
+    good chunks' rows plus ONE status='error:…' row under IGNORE; RAISE
+    fails the task."""
+    from pyspark.sql import functions as F
+
+    from neo4j_graphrag_python_spark.operators.extractor import (
+        extract_graph_rows,
+        llm_extractor,
+    )
+
+    c = client(base_url)
+
+    def llm_batch(prompts: list[str]) -> list[str]:
+        outs = c.complete_batch(prompts)
+        # good prompts: strip the echo, return a one-node graph so ok rows
+        # are visible; captured failures pass through as sentinels
+        return [
+            o if o.startswith(LLM_ERROR_SENTINEL)
+            else json.dumps({
+                "nodes": [{"id": "0", "label": "Person",
+                           "properties": {"name": "ok"}}],
+                "relationships": [],
+            })
+            for o in outs
+        ]
+
+    chunks = spark.createDataFrame(
+        [("u0", "c1", 0, "fine"), ("u1", "c1", 1, "FAILME"), ("u2", "c1", 2, "fine")],
+        "chunk_uid string, conv_id string, chunk_index int, text string",
+    ).coalesce(1)  # one Arrow batch — the blast radius under test
+
+    g = extract_graph_rows(chunks, llm_extractor(llm_batch)).cache()
+    try:
+        ok_nodes = g.where((F.col("kind") == "node") & (F.col("status") == "ok"))
+        err_rows = g.where(F.col("status").startswith("error:"))
+        assert ok_nodes.count() == 2  # N-1 chunks delivered their graphs
+        errs = err_rows.collect()
+        assert len(errs) == 1 and "llm transport error" in errs[0]["status"]
+        assert errs[0]["chunk_uid"] == "u1"
+    finally:
+        g.unpersist()
+
+    with pytest.raises(Exception, match="llm transport error"):
+        extract_graph_rows(
+            chunks, llm_extractor(llm_batch), on_error="RAISE"
+        ).count()
+
+
+def test_complete_with_tools_parses_calls(base_url) -> None:
+    """Tool bridge (VERDICT r3 #2): tools serialized in OpenAI wire format,
+    tool_calls parsed into the ToolCallResponse analog, content:null
+    preserved as None instead of raising."""
+    from neo4j_graphrag_python_spark.tools import retriever_as_tool
+
+    tool = retriever_as_tool("search_kg", "vector search", lambda **kw: kw)
+    _Fake.mode = "tool_call"
+    _Fake.seen_tools.clear()
+    try:
+        resp = client(base_url).complete_with_tools("find alice", [tool])
+    finally:
+        _Fake.mode = "echo"
+    assert isinstance(resp, ToolCallResponse) and resp.content is None
+    assert [c.name for c in resp.tool_calls] == ["search_kg", "search_kg"]
+    assert resp.tool_calls[0] == ToolCall(
+        name="search_kg", arguments={"query_text": "find alice", "top_k": 3}
+    )
+    assert resp.tool_calls[1].arguments == {}
+    # wire format matches the reference's _convert_tool_to_openai_format
+    sent = _Fake.seen_tools[-1]
+    assert sent["tool_choice"] == "auto"
+    fn = sent["tools"][0]["function"]
+    assert sent["tools"][0]["type"] == "function"
+    assert fn["name"] == "search_kg"
+    assert fn["parameters"]["properties"]["query_text"]["type"] == "string"
+    # round-trip: execute the tool with the model's parsed arguments
+    assert tool.execute(**resp.tool_calls[0].arguments) == {
+        "query_text": "find alice", "top_k": 3
+    }
+
+
+def test_complete_with_tools_plain_text_and_errors(base_url) -> None:
+    from neo4j_graphrag_python_spark.tools import retriever_as_tool
+
+    tool = retriever_as_tool("search_kg", "vector search", lambda **kw: kw)
+    # no tool_calls in the reply → plain-text response, empty tool list
+    resp = client(base_url).complete_with_tools("just answer", [tool])
+    assert resp.tool_calls == [] and resp.content == "ECHO:just answer"
+    # unparseable arguments raise, like the reference's json.loads guard
+    _Fake.mode = "bad_args"
+    try:
+        with pytest.raises(LLMGenerationError, match="parse tool call"):
+            client(base_url).complete_with_tools("q", [tool])
+    finally:
+        _Fake.mode = "echo"
+    # a non-Tool object is rejected before any HTTP call
+    with pytest.raises(LLMGenerationError, match="not a valid Tool"):
+        client(base_url).complete_with_tools("q", [object()])
 
 
 def test_client_drives_spark_slots(spark, base_url) -> None:
