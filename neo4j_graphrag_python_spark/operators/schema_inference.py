@@ -149,6 +149,13 @@ def typed_property_stats(
         # is lossy above 2^53
         F.min(v.try_cast("bigint")).alias("min_long"),
         F.max(v.try_cast("bigint")).alias("max_long"),
+        # typed DATE range — lexicographic string min/max is wrong for
+        # non-zero-padded forms try_cast accepts ('2024-10-1' < '2024-2-1'
+        # as strings).  Gated on the DATE vote ("31706" try_casts to
+        # year-31706) and cast back to string JVM-side: Python's date
+        # cannot deserialize years > 9999 at collect time
+        F.min(F.when(is_date, v.try_cast("date"))).cast("string").alias("min_date"),
+        F.max(F.when(is_date, v.try_cast("date"))).cast("string").alias("max_date"),
         F.min(v).alias("min_str"),
         F.max(v).alias("max_str"),
     )
@@ -189,6 +196,8 @@ def typed_property_stats(
         "max_num",
         "min_long",
         "max_long",
+        "min_date",
+        "max_date",
         "min_str",
         "max_str",
         "n",
@@ -236,26 +245,52 @@ def get_structured_schema(
             elif r["type"] == "FLOAT" and r["min_num"] is not None:
                 prop["min"] = r["min_num"]
                 prop["max"] = r["max_num"]
-            elif r["type"] == "DATE" and r["min_str"] is not None:
-                prop["min"] = r["min_str"]
-                prop["max"] = r["max_str"]
+            elif r["type"] == "DATE" and r["min_date"] is not None:
+                # typed date range rendered as ISO strings (string min/max
+                # is lexicographic and wrong for non-zero-padded dates)
+                prop["min"] = str(r["min_date"])
+                prop["max"] = str(r["max_date"])
             out.setdefault(r["key"], []).append(prop)
         for props in out.values():
             props.sort(key=lambda p: p["property"])
         return out
 
-    node_rows = typed_property_stats(
+    # ONE driver-blocking job for the whole introspection: node property
+    # stats, relationship property stats and the observed pattern
+    # inventory are tagged by kind, unioned, and collected together — a
+    # Text2SQL user pays this latency per retriever construction, and the
+    # three sub-plans have no dependency forcing separate actions
+    node_stats = typed_property_stats(
         nodes, "label", distinct_value_limit
-    ).collect()
-    rel_rows = typed_property_stats(edges, "type", distinct_value_limit).collect()
-    patterns = describe_graph(nodes, edges)["patterns"]
-    rels = [
-        {"start": r["start_label"], "type": r["type"], "end": r["end_label"]}
-        for r in patterns.orderBy("start_label", "type", "end_label").collect()
-    ]
+    ).withColumn("kind", F.lit("node"))
+    rel_stats = typed_property_stats(
+        edges, "type", distinct_value_limit
+    ).withColumn("kind", F.lit("rel"))
+    patterns = (
+        describe_graph(nodes, edges)["patterns"]
+        .select(
+            F.lit("pattern").alias("kind"),
+            F.col("start_label").alias("pat_start"),
+            F.col("type").alias("pat_type"),
+            F.col("end_label").alias("pat_end"),
+        )
+    )
+    rows = (
+        node_stats.unionByName(rel_stats)
+        .unionByName(patterns, allowMissingColumns=True)
+        .collect()
+    )
+    rels = sorted(
+        (
+            {"start": r["pat_start"], "type": r["pat_type"], "end": r["pat_end"]}
+            for r in rows
+            if r["kind"] == "pattern"
+        ),
+        key=lambda d: (d["start"], d["type"], d["end"]),
+    )
     return {
-        "node_props": to_props(node_rows),
-        "rel_props": to_props(rel_rows),
+        "node_props": to_props([r for r in rows if r["kind"] == "node"]),
+        "rel_props": to_props([r for r in rows if r["kind"] == "rel"]),
         "relationships": rels,
         "metadata": {"constraint": [], "index": []},
     }
@@ -293,7 +328,15 @@ def _format_property(prop: dict[str, Any]) -> str | None:
 def format_schema(schema: dict[str, Any], is_enhanced: bool = False) -> str:
     """Reference format_schema (root schema.py:458-497): compact
     ``Label {prop: TYPE, ...}`` lines, or the enhanced markdown form with
-    per-property examples/ranges when ``is_enhanced``."""
+    per-property examples/ranges when ``is_enhanced``.
+
+    Intentional byte-level divergence from the reference: its
+    _format_properties always joins '`prop`: TYPE' and the example with a
+    single space, leaving a trailing space when the example is empty;
+    here the separator is suppressed for empty examples, so lines never
+    carry trailing whitespace.  Consumers diffing against reference
+    get_schema output should normalize trailing spaces first.
+    """
     lines: list[str] = []
 
     def fmt_props(prop_dict: dict[str, Any]) -> list[str]:
@@ -364,7 +407,10 @@ def describe_graph(
         .withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") <= sample_values)
         .groupBy("label", "property")
-        .agg(F.collect_list("value").alias("sample_values"))
+        # sort_array: collect_list order depends on partitioning/run —
+        # sorted output matches typed_property_stats and keeps this frame
+        # snapshot-testable
+        .agg(F.sort_array(F.collect_list("value")).alias("sample_values"))
     )
     node_props = stats.join(sampled, ["label", "property"], "left").withColumn(
         "sample_values",

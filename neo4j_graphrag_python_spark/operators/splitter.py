@@ -156,13 +156,21 @@ def split_with_adapter(
 
     def spans(doc: str):
         search_from = 0
+        last_start = -1
         for i, chunk in enumerate(split_text_fn(doc)):
             s = doc.find(chunk, search_from)
-            if s < 0:  # overlap may start before the last start
+            if s < 0:
+                # re-scan from 0 covers a chunk re-starting AT the previous
+                # start; a hit strictly before it would be an earlier
+                # duplicate occurrence masquerading as a genuine offset —
+                # emit the -1 sentinel instead of a regressed offset
                 s = doc.find(chunk)
+                if 0 <= s < last_start:
+                    s = -1
             e = s + len(chunk) if s >= 0 else -1
             yield i, s, e, chunk, (doc[max(0, s - 2) : s] if s > 0 else "")
             if s >= 0:
                 search_from = s + 1
+                last_start = s
 
     return _split_stage(documents, spans, num_partitions)

@@ -208,3 +208,26 @@ def test_split_with_adapter_transformed_chunks_get_sentinel(spark) -> None:
     docs = spark.createDataFrame([("c1", "hello world")], ["conv_id", "text"])
     out = split_with_adapter(docs, lambda t: [t.upper()]).collect()
     assert out[0]["char_start"] == -1 and out[0]["char_end"] == -1
+
+
+def test_split_with_adapter_duplicate_chunk_never_regresses(spark) -> None:
+    """A repeated chunk emitted later must not be assigned an EARLIER
+    occurrence's offset (ADVICE r3): the re-scan-from-0 fallback emits
+    the -1 sentinel when its hit lies strictly before the previous
+    chunk's start, so offsets either advance or are honestly unknown."""
+    from neo4j_graphrag_python_spark.operators.splitter import (
+        split_with_adapter,
+    )
+
+    # "ab" occurs at 0 and 6; the splitter walks forward then re-emits
+    # "ab" after the cursor has passed the last occurrence
+    docs = spark.createDataFrame([("c1", "ab cd ab ef")], ["conv_id", "text"])
+    chunks = ["ab", "cd", "ab", "ef", "ab"]
+    out = {
+        r["chunk_index"]: r["char_start"]
+        for r in split_with_adapter(docs, lambda t: list(chunks)).collect()
+    }
+    assert out[0] == 0 and out[1] == 3 and out[2] == 6 and out[3] == 9
+    # 5th chunk: no occurrence at/after 9 except... none — fallback finds
+    # 0 < last_start=9 → sentinel, not a regressed "0"
+    assert out[4] == -1
