@@ -193,6 +193,7 @@ except Exception:  # pragma: no cover - testdata may be absent in CI
 # silently desync it from its cached oracle fixture (delete the
 # .fixtures parquet after changing any of these)
 ANN_NUM_PLANES, ANN_PROBE, ANN_K = 6, 3, 10
+KMEANS_C, KMEANS_NPROBE, KMEANS_SAMPLE_N = 12, 2, 2048
 ELSH_THRESHOLD, ELSH_TARGET_RECALL = 0.4, 0.95
 MINHASH_NUM_HASHES, MINHASH_BANDS = 96, 32
 MINHASH_SHINGLE_K, MINHASH_THRESHOLD = 5, 0.4
@@ -297,6 +298,65 @@ try:
     ANN_FIXTURE = _ensure_ann_fixture()
 except Exception:  # pragma: no cover - testdata may be absent in CI
     ANN_FIXTURE = str(tr.FIXTURE_ROOT / "sf0.01" / "ann_topk.parquet")
+
+
+def _ensure_kmeans_fixture() -> str:
+    """Expected ann_topk_kmeans output at sf0.01, computed offline.
+
+    The codebook FIT is the shared driver-side scalar function
+    (fit_kmeans_centroids — deliberately pure Python, seeded, pinned
+    bit-stable by its own test), exactly like the seeded hyperplane draws
+    of _ensure_ann_fixture.  What this fixture replicates INDEPENDENTLY
+    is the distributed machinery: the JVM fold-order dot products
+    (_fold_dot), the first-wins argmax cell assignment (array_position
+    semantics), the nprobe-nearest-centroid probe set, and the
+    rounded-cosine top-k tie-broken by id."""
+    out = tr.FIXTURE_ROOT / "sf0.01" / "ann_topk_kmeans.parquet"
+    if not out.exists():
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from neo4j_graphrag_python_spark.operators.similarity import (
+            fit_kmeans_centroids,
+        )
+
+        vecs = _read_sf001_embeddings()
+        q = vecs[0]
+        sample = [vecs[i] for i in sorted(vecs)[:KMEANS_SAMPLE_N]]
+        centroids = fit_kmeans_centroids(sample, num_centroids=KMEANS_C)
+
+        def cell(v) -> int:
+            dots = [_fold_dot(v, c) for c in centroids]
+            return dots.index(max(dots))  # first-wins, like array_position
+
+        dq = [_fold_dot(q, c) for c in centroids]
+        probes = set(
+            sorted(range(len(centroids)), key=lambda j: (-dq[j], j))[
+                :KMEANS_NPROBE
+            ]
+        )
+        cands = [i for i, v in vecs.items() if cell(v) in probes]
+        scored = sorted(
+            ((i, _cos6(vecs[i], q)) for i in cands),
+            key=lambda t: (-t[1], t[0]),
+        )[:ANN_K]
+        out.parent.mkdir(parents=True, exist_ok=True)
+        pq.write_table(
+            pa.table(
+                {
+                    "id": pd_series_int64([s[0] for s in scored]),
+                    "score": [s[1] for s in scored],
+                }
+            ),
+            out,
+        )
+    return str(out)
+
+
+try:
+    KMEANS_FIXTURE = _ensure_kmeans_fixture()
+except Exception:  # pragma: no cover - testdata may be absent in CI
+    KMEANS_FIXTURE = str(tr.FIXTURE_ROOT / "sf0.01" / "ann_topk_kmeans.parquet")
 
 
 def _ensure_elsh_fixture() -> str:
@@ -1074,6 +1134,28 @@ def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_ann(indexed, planes, qv, k=ANN_K, probe_hamming=ANN_PROBE)
 
 
+def q_ann_topk_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-means IVF approximate top-k — the data-AWARE coarse quantizer
+    (VERDICT r3 #5: hyperplane cuts are data-blind and scatter dense
+    clusters across buckets; centroid cells align with the clusters, so
+    recall at equal candidates is higher on clustered corpora — the sf*
+    embeddings tables are exactly that, gaussian-mixture with a label
+    column).  Deterministic given the seeded sample-fit, so hash-checked
+    against KMEANS_FIXTURE (offline replication of assignment, probing,
+    rounded-cosine ranking)."""
+    from neo4j_graphrag_python_spark.operators.similarity import (
+        build_ivf_kmeans_index,
+        topk_ivf_kmeans,
+    )
+
+    emb = _read(spark, sf_dir, "embeddings")
+    qv = emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+    indexed, centroids = build_ivf_kmeans_index(
+        emb, num_centroids=KMEANS_C, sample_n=KMEANS_SAMPLE_N
+    )
+    return topk_ivf_kmeans(indexed, centroids, qv, k=ANN_K, nprobe=KMEANS_NPROBE)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_documents": q_kg_documents,
@@ -1107,6 +1189,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_contamination": q_doc_contamination,
         "doc_repetition": q_doc_repetition,
         "ann_topk_ivf": q_ann_topk_ivf,
+        "ann_topk_kmeans": q_ann_topk_kmeans,
     }
 
 
@@ -1294,6 +1377,9 @@ SELECT id, fingerprint FROM read_parquet('{FINGERPRINTS_FIXTURE}')
         # the distributed banding/probe/rescore is value-pinned
         "ann_topk_ivf": f"""
 SELECT id, score FROM read_parquet('{ANN_FIXTURE}')
+""",
+        "ann_topk_kmeans": f"""
+SELECT id, score FROM read_parquet('{KMEANS_FIXTURE}')
 """,
         "embedding_neardup_lsh": f"""
 SELECT id_a, id_b, cosine FROM read_parquet('{ELSH_FIXTURE}')

@@ -154,6 +154,166 @@ def topk_ann(
     return scored.orderBy(F.desc("score"), "id").limit(k)
 
 
+# ---------------------------------------------------------------------------
+# k-means IVF — the clustered-corpus coarse quantizer
+# ---------------------------------------------------------------------------
+#
+# Random-hyperplane buckets carve the sphere with data-BLIND cuts: on a
+# clustered corpus a cut through a dense cluster scatters true neighbors
+# across buckets (the recall-curve caveat in BENCH.md).  k-means centroids
+# are data-AWARE — cells align with the clusters — so at equal candidates
+# probed, recall is higher.  This is the classic IVF layout (FAISS
+# IndexIVFFlat; SPANN): fit a small codebook on a sample, assign every
+# vector to its nearest centroid, partition storage by centroid id, probe
+# the nprobe nearest cells at query time.
+
+
+def sample_vectors(
+    embeddings: DataFrame,
+    n: int = 2048,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic bounded sample for codebook fitting: the n smallest
+    ids (TakeOrdered — no full sort), collected to the driver.  Bounded
+    by n × dim floats, independent of corpus size; at 100 TB this is the
+    one driver-side step of index construction, mirroring how FAISS
+    trains an IVF codebook on a subsample rather than the corpus."""
+    return [
+        [float(x) for x in r["v"]]
+        for r in embeddings.select(
+            F.col(id_col).alias("i"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+        .orderBy("i")
+        .limit(n)
+        .collect()
+    ]
+
+
+def fit_kmeans_centroids(
+    sample: list[list[float]],
+    num_centroids: int = 16,
+    iters: int = 15,
+    seed: int = 42,
+) -> list[list[float]]:
+    """Spherical k-means on a driver-side sample → unit-norm centroids.
+
+    Pure Python on purpose: the offline oracle fixture replays this
+    EXACTLY (same seeded init via random.Random(seed).sample, same
+    first-wins argmax, same fold order in the dot products), so the
+    distributed assignment/probe path can be value-pinned rather than
+    row-counted.  Fixed iteration count (no epsilon test) keeps the
+    result independent of float tolerance choices.  Empty cells keep
+    their previous centroid (a standard k-means guard).
+    """
+    import math
+    import random
+
+    if not sample:
+        raise ValueError("cannot fit centroids on an empty sample")
+    k = min(num_centroids, len(sample))
+
+    def unit(v: list[float]) -> list[float]:
+        nrm = math.sqrt(sum(x * x for x in v))
+        return [x / nrm for x in v] if nrm > 0 else list(v)
+
+    pts = [unit(v) for v in sample]
+    rng = random.Random(seed)
+    centroids = [list(pts[i]) for i in rng.sample(range(len(pts)), k)]
+    for _ in range(iters):
+        sums = [[0.0] * len(pts[0]) for _ in range(k)]
+        counts = [0] * k
+        for p in pts:
+            dots = [sum(a * b for a, b in zip(p, c)) for c in centroids]
+            j = dots.index(max(dots))  # first-wins, like array_position
+            counts[j] += 1
+            s = sums[j]
+            for i, x in enumerate(p):
+                s[i] += x
+        for j in range(k):
+            if counts[j]:
+                centroids[j] = unit([x / counts[j] for x in sums[j]])
+    return centroids
+
+
+def _centroid_argmax(vec: Column, centroids: list[list[float]]) -> Column:
+    """Index of the max-dot-product centroid, JVM-side.
+
+    Centroids are unit-norm, so argmax dot == argmax cosine (the |v|
+    factor is constant across centroids).  The codebook rides ONE SQL
+    array literal (the %.17e lesson from _hyperplane_signs — per-element
+    F.lit is a py4j roundtrip each).  array_position returns the FIRST
+    position of the max — the same first-wins tie rule as the fitter and
+    the offline fixture."""
+    rows = ",".join(
+        "array(" + ",".join(f"{float(x):.17e}" for x in c) + ")"
+        for c in centroids
+    )
+    mat = F.expr(f"array({rows})")
+    dots = F.transform(
+        mat,
+        lambda c: F.aggregate(
+            F.zip_with(vec, c, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda s, x: s + x,
+        ),
+    )
+    return (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
+
+
+def build_ivf_kmeans_index(
+    embeddings: DataFrame,
+    centroids: list[list[float]] | None = None,
+    num_centroids: int = 16,
+    sample_n: int = 2048,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Assign every vector to its nearest centroid cell.
+
+    Returns (indexed_df(id, v, bucket), centroids).  Pass precomputed
+    ``centroids`` to skip fitting (e.g. the fixture's shared codebook).
+    The assignment is one codegen'd projection over the corpus — no
+    shuffle; write with :func:`write_ann_index` so probes partition-prune
+    exactly like the hyperplane index."""
+    if centroids is None:
+        centroids = fit_kmeans_centroids(
+            sample_vectors(embeddings, sample_n, id_col, vec_col),
+            num_centroids=num_centroids,
+            seed=seed,
+        )
+    v = F.col(vec_col).cast("array<double>")
+    indexed = embeddings.select(
+        F.col(id_col).alias("id"),
+        v.alias("v"),
+        _centroid_argmax(v, centroids).alias("bucket"),
+    )
+    return indexed, centroids
+
+
+def topk_ivf_kmeans(
+    indexed: DataFrame,
+    centroids: list[list[float]],
+    query_vector: Sequence[float],
+    k: int = 10,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Probe the ``nprobe`` nearest centroid cells, exact-rescore the
+    candidates (cosine), top-k.  The probe set is computed driver-side
+    (codebook-sized); against a partitioned index the filter becomes
+    ``PartitionFilters: [bucket IN (...)]`` — only probed cells' files
+    are read."""
+    q = [float(x) for x in query_vector]
+    dots = [sum(a * b for a, b in zip(q, c)) for c in centroids]
+    probes = sorted(range(len(centroids)), key=lambda j: (-dots[j], j))[:nprobe]
+    qcol = F.array(*[F.lit(x) for x in q])
+    cand = indexed.where(F.col("bucket").isin(probes))
+    scored = cand.select("id", cosine_col(F.col("v"), qcol).alias("score"))
+    return scored.orderBy(F.desc("score"), "id").limit(k)
+
+
 def upsert_vectors(
     nodes: DataFrame,
     vectors: DataFrame,

@@ -80,6 +80,38 @@ def main() -> None:
                 f"| {recall:.3f} | {cands // len(qvecs)} |"
             )
         indexed.unpersist()
+
+    # k-means IVF (data-aware cells) at matched candidate budgets
+    from neo4j_graphrag_python_spark.operators.similarity import (
+        build_ivf_kmeans_index,
+        topk_ivf_kmeans,
+    )
+
+    print("| centroids | nprobe | cells probed / total | recall@10 | avg candidates |")
+    print("|---|---|---|---|---|")
+    for n_centroids in (12, 16):
+        indexed, centroids = build_ivf_kmeans_index(
+            emb, num_centroids=n_centroids, sample_n=2048
+        )
+        indexed = indexed.persist()
+        indexed.count()
+        for nprobe in (1, 2, 3, 4):
+            hits, cands = 0, 0
+            for qid, qv in qvecs.items():
+                res = topk_ivf_kmeans(indexed, centroids, qv, k=10, nprobe=nprobe)
+                got = {r["id"] for r in res.collect()}
+                hits += len(got & exact[qid])
+                dots = [sum(a * b for a, b in zip(qv, c)) for c in centroids]
+                probes = sorted(
+                    range(len(centroids)), key=lambda j: (-dots[j], j)
+                )[:nprobe]
+                cands += indexed.where(F.col("bucket").isin(probes)).count()
+            recall = hits / (10 * len(qvecs))
+            print(
+                f"| {n_centroids} | {nprobe} | {nprobe}/{n_centroids} "
+                f"| {recall:.3f} | {cands // len(qvecs)} |"
+            )
+        indexed.unpersist()
     spark.stop()
 
 

@@ -275,6 +275,108 @@ def test_ann_index_partition_pruning(spark, emb, tmp_path) -> None:
     assert got == mem
 
 
+@pytest.fixture(scope="module")
+def clustered_emb(spark):
+    """A corpus where random hyperplanes are weak: 8 tight gaussian
+    clusters in 16-d.  True neighbors = own cluster."""
+    import random
+
+    rng = random.Random(7)
+    centers = [[rng.gauss(0.0, 1.0) for _ in range(16)] for _ in range(8)]
+    rows = []
+    for ci, c in enumerate(centers):
+        for j in range(50):
+            rows.append(
+                (ci * 50 + j, [x + rng.gauss(0.0, 0.05) for x in c])
+            )
+    return spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>"
+    ).persist()
+
+
+def test_kmeans_ivf_beats_hyperplanes_on_clustered_corpus(
+    spark, clustered_emb
+) -> None:
+    """VERDICT r3 #5 acceptance: on a clustered fixture, the k-means
+    coarse quantizer must reach recall ≥ the hyperplane table while
+    probing no more candidates."""
+    from neo4j_graphrag_python_spark.operators.similarity import (
+        build_ivf_kmeans_index,
+        topk_ivf_kmeans,
+    )
+
+    hp_indexed, planes = build_ann_index(clustered_emb, dim=16, num_planes=4)
+    hp_indexed = hp_indexed.persist()
+    km_indexed, centroids = build_ivf_kmeans_index(
+        clustered_emb, num_centroids=8, sample_n=400
+    )
+    km_indexed = km_indexed.persist()
+    queries = [0, 57, 103, 155, 201, 266, 312, 399]
+    qvecs = {
+        r["vec_id"]: r["embedding"]
+        for r in clustered_emb.where(F.col("vec_id").isin(queries)).collect()
+    }
+    hp_recall = km_recall = 0.0
+    hp_cands = km_cands = 0
+    for qid in queries:
+        q = qvecs[qid]
+        exact = {r["id"] for r in topk_bruteforce(clustered_emb, q, k=10).collect()}
+        hp = topk_ann(hp_indexed, planes, q, k=10, probe_hamming=1)
+        km = topk_ivf_kmeans(km_indexed, centroids, q, k=10, nprobe=2)
+        hp_recall += len({r["id"] for r in hp.collect()} & exact) / 10
+        km_recall += len({r["id"] for r in km.collect()} & exact) / 10
+        # candidates probed = rows surviving the bucket filter
+        qb = 0
+        for i, h in enumerate(planes):
+            if sum(a * b for a, b in zip(q, h)) >= 0:
+                qb |= 1 << i
+        probes = {qb} | {qb ^ (1 << f) for f in range(len(planes))}
+        hp_cands += hp_indexed.where(F.col("bucket").isin(list(probes))).count()
+        dots = [sum(a * b for a, b in zip(q, c)) for c in centroids]
+        kp = sorted(range(8), key=lambda j: (-dots[j], j))[:2]
+        km_cands += km_indexed.where(F.col("bucket").isin(kp)).count()
+    hp_recall, km_recall = hp_recall / len(queries), km_recall / len(queries)
+    assert km_cands <= hp_cands, (km_cands, hp_cands)
+    assert km_recall >= hp_recall, (km_recall, hp_recall)
+    # clusters ≈ cells: the data-aware quantizer should be near-exact here
+    assert km_recall >= 0.95
+
+
+def test_kmeans_ivf_partition_pruning_and_determinism(
+    spark, clustered_emb, tmp_path
+) -> None:
+    """The materialized k-means index probes as partition-pruned scans
+    (only nprobe cells' files read), and fit/assign are deterministic."""
+    import re as _re
+
+    from neo4j_graphrag_python_spark.operators.similarity import (
+        build_ivf_kmeans_index,
+        fit_kmeans_centroids,
+        read_ann_index,
+        sample_vectors,
+        topk_ivf_kmeans,
+        write_ann_index,
+    )
+
+    sample = sample_vectors(clustered_emb, n=400)
+    c1 = fit_kmeans_centroids(sample, num_centroids=8)
+    c2 = fit_kmeans_centroids(sample, num_centroids=8)
+    assert c1 == c2  # seeded fit is bit-stable
+    indexed, centroids = build_ivf_kmeans_index(clustered_emb, centroids=c1)
+    path = str(tmp_path / "ivf_kmeans")
+    write_ann_index(indexed, path)
+    on_disk = read_ann_index(spark, path)
+    q = clustered_emb.where(F.col("vec_id") == 7).collect()[0]["embedding"]
+    res = topk_ivf_kmeans(on_disk, centroids, q, k=10, nprobe=2)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    m = _re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and m.group(1).strip(), "bucket probe must partition-prune"
+    got = {r["id"] for r in res.collect()}
+    assert 7 in got
+    mem = {r["id"] for r in topk_ivf_kmeans(indexed, centroids, q, k=10, nprobe=2).collect()}
+    assert got == mem
+
+
 def test_upsert_vectors(spark) -> None:
     """Reference upsert_vectors semantics: provided ids get the new
     embedding, others keep theirs; schema unchanged."""
