@@ -197,6 +197,7 @@ KMEANS_C, KMEANS_NPROBE, KMEANS_SAMPLE_N = 12, 2, 2048
 ELSH_THRESHOLD, ELSH_TARGET_RECALL = 0.4, 0.95
 MINHASH_NUM_HASHES, MINHASH_BANDS = 96, 32
 MINHASH_SHINGLE_K, MINHASH_THRESHOLD = 5, 0.4
+MINHASH_EST_MARGIN = 0.15
 
 
 def _read_sf001_embeddings() -> "dict[int, list[float]]":
@@ -424,12 +425,15 @@ def _ensure_minhash_fixture() -> str:
     """Expected dedup_minhash_pairs output at sf0.01, computed offline in
     straight-line Python with a pure-Python XXH64 that is bit-compatible
     with Spark's ``xxhash64`` (parity asserted in tests): same shingling,
-    same 96 per-seed signature minima, same 32-band bucketing (grouped by
-    the band's signature slice — bucket-hash equality ⟺ slice equality),
-    same exact-Jaccard rescore at the same threshold.  This was the LAST
-    rows-only-by-nature query: banding has no SQL equivalent, but it has
-    a deterministic straight-line equivalent, so the distributed path is
-    value-pinned like everything else."""
+    same long-rehash signatures (one base hash per distinct shingle, then
+    96 chained [8-byte long, 4-byte int seed] rehash minima — the round-4
+    scheme), same 32-band bucketing (grouped by the band's signature
+    slice — bucket-hash equality ⟺ slice equality), same JVM-side
+    signature-agreement prefilter, same exact-Jaccard rescore at the same
+    threshold.  This was the LAST rows-only-by-nature query: banding has
+    no SQL equivalent, but it has a deterministic straight-line
+    equivalent, so the distributed path is value-pinned like everything
+    else."""
     out = tr.FIXTURE_ROOT / "sf0.01" / "minhash_pairs.parquet"
     if not out.exists():
         from collections import defaultdict
@@ -437,22 +441,31 @@ def _ensure_minhash_fixture() -> str:
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        from neo4j_graphrag_python_spark.functions.xxhash import spark_xxhash64
+        from neo4j_graphrag_python_spark.functions.xxhash import (
+            Long,
+            spark_xxhash64,
+        )
 
         num_hashes, bands = MINHASH_NUM_HASHES, MINHASH_BANDS
         k, thr = MINHASH_SHINGLE_K, MINHASH_THRESHOLD
+        margin = MINHASH_EST_MARGIN
         rows_per_band = num_hashes // bands
         docs = pq.read_table(
             "/root/testdata/sf0.01/documents.parquet", columns=["doc_id", "text"]
         ).to_pandas()
-        cache: dict[str, list[int]] = {}
+        base_cache: dict[str, int] = {}
+        rehash_cache: dict[int, list[int]] = {}
 
-        def hashes_for(s: str) -> list[int]:
-            if s not in cache:
-                cache[s] = [
-                    spark_xxhash64(s, seed) for seed in range(num_hashes)
+        def rehashes_for(s: str) -> list[int]:
+            h = base_cache.get(s)
+            if h is None:
+                h = base_cache[s] = spark_xxhash64(s)
+            out_ = rehash_cache.get(h)
+            if out_ is None:
+                out_ = rehash_cache[h] = [
+                    spark_xxhash64(Long(h), seed) for seed in range(num_hashes)
                 ]
-            return cache[s]
+            return out_
 
         sigs: dict[int, list[int]] = {}
         texts: dict[int, str] = {}
@@ -461,7 +474,7 @@ def _ensure_minhash_fixture() -> str:
             norm = (text or "").lower()
             n_sh = max(len(norm) - (k - 1), 1)
             shingles = {norm[i : i + k] for i in range(n_sh)}
-            per_seed = [min(hashes_for(s)[j] for s in shingles)
+            per_seed = [min(rehashes_for(s)[j] for s in shingles)
                         for j in range(num_hashes)]
             sigs[did] = per_seed
             texts[did] = norm
@@ -476,6 +489,13 @@ def _ensure_minhash_fixture() -> str:
             for ai in range(len(members)):
                 for bi in range(ai + 1, len(members)):
                     pairs.add((members[ai], members[bi]))
+        # signature-agreement prefilter, replicated slot-for-slot
+        pairs = {
+            (a, b)
+            for a, b in pairs
+            if sum(x == y for x, y in zip(sigs[a], sigs[b])) / num_hashes
+            >= thr - margin
+        }
 
         def shset(t: str) -> set:
             if len(t) < k:
@@ -1030,6 +1050,7 @@ def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands=MINHASH_BANDS,
         shingle_k=MINHASH_SHINGLE_K,
         jaccard_threshold=MINHASH_THRESHOLD,
+        est_margin=MINHASH_EST_MARGIN,
     )
 
 

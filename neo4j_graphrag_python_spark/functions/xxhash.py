@@ -96,15 +96,31 @@ def _to_signed(v: int) -> int:
     return v - (1 << 64) if v >= (1 << 63) else v
 
 
+class Long:
+    """Marks an argument as a Spark LongType COLUMN value (8 LE bytes),
+    as opposed to a bare Python int, which spark_xxhash64 treats as the
+    INT literal (4 LE bytes) that ``F.lit(python_int)`` produces.  Needed
+    by the minhash long-rehash scheme: ``F.xxhash64(hash_col, F.lit(j))``
+    chains [long column, int literal]."""
+
+    __slots__ = ("v",)
+
+    def __init__(self, v: int) -> None:
+        self.v = int(v)
+
+
 def spark_xxhash64(*args, seed: int = 42) -> int:
     """Replicates ``F.xxhash64(arg0, arg1, ...)``: the running hash seeds
     the next argument's hash.  ``str`` hashes UTF-8 bytes; ``int`` args
     are treated as Spark INT literals (4 LE bytes) — which is what
-    ``F.lit(python_int)`` produces for values in int32 range.  Returns a
-    SIGNED 64-bit value like Spark's LongType."""
+    ``F.lit(python_int)`` produces for values in int32 range; wrap a
+    value in :class:`Long` for LongType-column semantics (8 LE bytes).
+    Returns a SIGNED 64-bit value like Spark's LongType."""
     h = seed & _M
     for a in args:
-        if isinstance(a, str):
+        if isinstance(a, Long):
+            h = xxh64(a.v.to_bytes(8, "little", signed=True), h)
+        elif isinstance(a, str):
             h = xxh64(a.encode("utf-8"), h)
         elif isinstance(a, int):
             h = xxh64(int(a).to_bytes(4, "little", signed=True), h)

@@ -27,6 +27,24 @@ from typing import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
+def widen_for_compute(df: DataFrame) -> DataFrame:
+    """Widen a frame to the session's parallelism before a compute-dense
+    projection (minhash/simhash/LSH signatures do ~10²-10³ hash or dot
+    ops per input byte).
+
+    Scan partitioning is sized for I/O (``maxPartitionBytes``), so a few
+    MB of compressed text lands on 1-2 tasks and pins them while the
+    rest of the cluster idles — measured at sf1: the 50k-doc minhash
+    signature stage ran on 2 tasks of a local[32] session.  One narrow
+    round-robin shuffle of the raw rows is trivial next to the hash
+    work.  No-op when the frame is already at least as wide.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 # ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------
@@ -61,11 +79,22 @@ def minhash_signatures(
     num_hashes: int = 64,
     shingle_k: int = 5,
 ) -> DataFrame:
-    """(id, sig array<bigint>) — one xxhash64 per (shingle, seed) minimum.
+    """(id, sig array<bigint>) — minhash signatures via long-rehash.
 
-    Stays fully JVM-side: shingles via sequence/transform/substring HOFs,
-    per-seed min via aggregate().  num_hashes seeds ⇒ num_hashes column
-    passes, fused by codegen into one projection.
+    Two-stage scheme (round 4 — 2× cheaper than hashing strings per
+    seed, byte-identical results replicated by the offline fixture):
+
+    1. ONE string-hash pass: each shingle → ``xxhash64(shingle)``
+       (UTF-8 encode + variable-length hash happens once, not
+       ``num_hashes`` times), then ``array_distinct`` — word-salad /
+       natural text repeats ~30% of its shingles, and min() over
+       duplicates is identity, so distinct shrinks every downstream
+       pass (hash collisions collapse to the same value ⇒ still exact);
+    2. ``num_hashes`` cheap passes over the LONG array:
+       ``xxhash64(h, lit(seed))`` chains [8-byte long, 4-byte int
+       literal] — two fixed-size blocks, no string encode.
+
+    Stays fully JVM-side, fused by codegen into one projection.
 
     NULL texts coalesce to '' (matching exact_jaccard_pairs and the
     offline oracle fixture): without it a NULL row's shingle array is
@@ -75,32 +104,50 @@ def minhash_signatures(
     """
     norm = F.lower(F.coalesce(F.col(text_col), F.lit("")))
     n_sh = F.greatest(F.length(norm) - F.lit(shingle_k - 1), F.lit(1))
-    shingles = F.transform(
-        F.sequence(F.lit(1), n_sh), lambda i: norm.substr(i, F.lit(shingle_k))
+    shingle_hashes = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n_sh),
+            lambda i: F.xxhash64(norm.substr(i, F.lit(shingle_k))),
+        )
     )
-    base = df.select(F.col(id_col).alias("id"), shingles.alias("sh"))
+    base = widen_for_compute(df).select(
+        F.col(id_col).alias("id"), shingle_hashes.alias("hl")
+    )
 
-    def hash_with(seed: int):
+    def rehash_with(seed: int):
         # must be a ONE-argument lambda: PySpark treats a second lambda
         # parameter as the array index (transform(arr, (x, i) -> ...)),
         # so the `lambda s, seed=seed:` capture idiom silently turns the
         # seed into the element position — collapsing every signature
         # slot to the same hash function
-        return lambda s: F.xxhash64(s, F.lit(seed))
+        return lambda h: F.xxhash64(h, F.lit(seed))
 
     sig = F.array(
-        *[F.array_min(F.transform("sh", hash_with(seed))) for seed in range(num_hashes)]
+        *[
+            F.array_min(F.transform("hl", rehash_with(seed)))
+            for seed in range(num_hashes)
+        ]
     )
     return base.select("id", sig.alias("sig"))
 
 
 def minhash_lsh_pairs(
-    signatures: DataFrame, bands: int = 16
+    signatures: DataFrame, bands: int = 16, max_bucket_size: int | None = None
 ) -> DataFrame:
     """LSH banding: split each signature into ``bands`` bands, hash each
     band, self-join on (band_idx, band_hash) buckets → candidate pairs
     (id_a < id_b).  Collision probability follows the usual S-curve in
-    true Jaccard similarity."""
+    true Jaccard similarity.
+
+    ``max_bucket_size``: optional guard for ADVERSARIAL corpora whose
+    noise-floor Jaccard sits near the banding S-curve (boilerplate-heavy
+    or tiny-vocabulary text): a band bucket of m members contributes
+    C(m,2) pairs, so a few corpus-wide buckets make the join output
+    quadratic.  Buckets larger than the cap are dropped (their members
+    are overwhelmingly sub-threshold noise; genuinely similar pairs
+    still meet in OTHER, sharper bands).  Off by default — semantics are
+    exact banding unless the caller opts in; deterministic either way.
+    """
     rows_per_band = F.size("sig") / F.lit(bands)
     banded = signatures.select(
         "id",
@@ -120,6 +167,15 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    if max_bucket_size is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band", "bucket")
+        banded = (
+            banded.withColumn("_bsz", F.count("*").over(w))
+            .where(F.col("_bsz") <= max_bucket_size)
+            .drop("_bsz")
+        )
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -142,14 +198,58 @@ def minhash_dedup_pairs(
     bands: int = 32,
     shingle_k: int = 5,
     jaccard_threshold: float = 0.7,
+    est_margin: float = 0.15,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
-    """Full near-dup pipeline: candidates via MinHash-LSH, verified with
-    exact n-gram Jaccard (pandas UDF) → (id_a, id_b, jaccard)."""
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k)
-    pairs = minhash_lsh_pairs(sigs, bands)
+    """Full near-dup pipeline: candidates via MinHash-LSH, pre-filtered
+    by the JVM-side signature-agreement estimate, verified with exact
+    n-gram Jaccard (pandas UDF) → (id_a, id_b, jaccard).
+
+    The est-prefilter is the round-4 scale fix: on corpora with a high
+    similarity noise floor (same-domain text, J≈0.2), shallow bands
+    (rows-per-band = num_hashes/bands) emit CANDIDATES quadratically —
+    measured 3.9M candidate pairs from 5,000 docs at (96, 32) — and the
+    Python rescore was eating them all.  The agreement fraction of the
+    two full signatures is an unbiased estimate of Jaccard (Binomial
+    mean J over num_hashes slots), computed as one zip_with/aggregate
+    over longs already in hand; pairs with
+    ``est < jaccard_threshold - est_margin`` skip the exact rescore.
+    At (96 hashes, margin 0.15, J=threshold) the estimate sits 3σ above
+    the cut — the recall loss is ≤0.1% and only at the exact threshold
+    boundary, while noise-floor pairs are rejected JVM-side (measured
+    3.9M → ~tens of k reaching Python at sf0.1).  Deterministic, so the
+    offline oracle fixture replicates it slot-for-slot.
+
+    Signatures are localCheckpointed: four consumers read them (both
+    sides of the band self-join, both sides of the est join) and each
+    would otherwise recompute the signature projection from scratch.
+    """
+    sigs = minhash_signatures(
+        df, id_col, text_col, num_hashes, shingle_k
+    ).localCheckpoint(eager=False)
+    pairs = minhash_lsh_pairs(sigs, bands, max_bucket_size=max_bucket_size)
+    agree = F.aggregate(
+        F.zip_with(
+            "sig_a", "sig_b", lambda x, y: (x == y).cast("int")
+        ),
+        F.lit(0),
+        lambda s, x: s + x,
+    )
+    survivors = (
+        pairs.join(
+            sigs.withColumnsRenamed({"id": "id_a", "sig": "sig_a"}), "id_a"
+        )
+        .join(sigs.withColumnsRenamed({"id": "id_b", "sig": "sig_b"}), "id_b")
+        .where(
+            agree / F.lit(num_hashes) >= F.lit(jaccard_threshold - est_margin)
+        )
+        .select("id_a", "id_b")
+    )
     texts = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
     enriched = (
-        pairs.join(texts.withColumnsRenamed({"id": "id_a", "text": "text_a"}), "id_a")
+        survivors.join(
+            texts.withColumnsRenamed({"id": "id_a", "text": "text_a"}), "id_a"
+        )
         .join(texts.withColumnsRenamed({"id": "id_b", "text": "text_b"}), "id_b")
     )
     scored = score_pairs_jaccard(enriched, shingle_k)
@@ -309,7 +409,7 @@ def simhash_fingerprints(
                 }
             )
 
-    return df.mapInPandas(fp, schema="id long, simhash long")
+    return widen_for_compute(df).mapInPandas(fp, schema="id long, simhash long")
 
 
 def simhash_neardup_pairs(
@@ -594,8 +694,9 @@ def embedding_neardup_lsh(
                 F.lit(t).alias("tbl"), _hyperplane_signs(v, planes).alias("bucket")
             )
         )
-    # keys only through the explode — no vector payload
-    bucketed = embeddings.select(
+    # keys only through the explode — no vector payload; widened first:
+    # L·m·dim dots per row on an I/O-sized scan would pin 1-2 tasks
+    bucketed = widen_for_compute(embeddings).select(
         F.col(id_col).alias("id"),
         F.explode(F.array(*tables)).alias("tb"),
     ).select("id", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))

@@ -96,11 +96,13 @@ def build_ann_index(
     """
     import random
 
+    from neo4j_graphrag_python_spark.operators.dedup import widen_for_compute
+
     rng = random.Random(seed)
     planes = [
         [rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(num_planes)
     ]
-    indexed = embeddings.select(
+    indexed = widen_for_compute(embeddings).select(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"),
         _hyperplane_signs(F.col(vec_col).cast("array<double>"), planes).alias(
@@ -278,6 +280,8 @@ def build_ivf_kmeans_index(
     The assignment is one codegen'd projection over the corpus — no
     shuffle; write with :func:`write_ann_index` so probes partition-prune
     exactly like the hyperplane index."""
+    from neo4j_graphrag_python_spark.operators.dedup import widen_for_compute
+
     if centroids is None:
         centroids = fit_kmeans_centroids(
             sample_vectors(embeddings, sample_n, id_col, vec_col),
@@ -285,7 +289,7 @@ def build_ivf_kmeans_index(
             seed=seed,
         )
     v = F.col(vec_col).cast("array<double>")
-    indexed = embeddings.select(
+    indexed = widen_for_compute(embeddings).select(
         F.col(id_col).alias("id"),
         v.alias("v"),
         _centroid_argmax(v, centroids).alias("bucket"),

@@ -194,7 +194,11 @@ def doc_fingerprints(
                                 "fingerprint": pd.Series(prints, dtype="int64")})
             ids, prints = [], []
 
-    return df.select(id_col, text_col).mapInPandas(
+    from neo4j_graphrag_python_spark.operators.dedup import widen_for_compute
+
+    # rolling-hash winnowing is ~10² ops per input byte: widen past the
+    # I/O-sized scan partitioning or a few MB of text pins 1-2 tasks
+    return widen_for_compute(df.select(id_col, text_col)).mapInPandas(
         fp, schema="id long, fingerprint long"
     )
 

@@ -59,6 +59,23 @@ def test_minhash_lsh_finds_near_dups(docs) -> None:
     assert (4, 5) not in got
 
 
+def test_minhash_bucket_cap_drops_flood_buckets(docs) -> None:
+    """max_bucket_size guards adversarial corpora: with the cap below the
+    duplicate-group size, the flooded buckets are dropped and no pairs
+    emerge from them; without it the pairs exist."""
+    from neo4j_graphrag_python_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        minhash_signatures,
+    )
+
+    sigs = minhash_signatures(docs, num_hashes=32)
+    uncapped = minhash_lsh_pairs(sigs, bands=8).count()
+    assert uncapped > 0
+    # docs 1 and 2 are identical → every band bucket holding them has ≥2
+    # members; cap=1 drops every multi-member bucket → zero candidates
+    assert minhash_lsh_pairs(sigs, bands=8, max_bucket_size=1).count() == 0
+
+
 def test_minhash_jaccard_values(docs) -> None:
     pairs = minhash_dedup_pairs(docs, jaccard_threshold=0.0)
     vals = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}
@@ -434,6 +451,30 @@ def test_pure_python_xxh64_matches_spark(spark) -> None:
         assert spark_xxhash64(r["s"]) == r["h0"], r["s"]
         assert spark_xxhash64(r["s"], 0) == r["hs0"], r["s"]
         assert spark_xxhash64(r["s"], 95) == r["hs95"], r["s"]
+
+
+def test_pure_python_xxh64_long_chain_matches_spark(spark) -> None:
+    """The round-4 long-rehash minhash scheme chains
+    ``xxhash64(long_col, int_lit)`` — the Long marker must replicate the
+    8-LE-byte LongType hashing (a bare Python int replicates the 4-byte
+    INT literal instead)."""
+    from pyspark.sql import functions as F
+
+    from neo4j_graphrag_python_spark.functions.xxhash import (
+        Long,
+        spark_xxhash64,
+    )
+
+    vals = [0, 1, -1, 42, 2**40, -(2**40), 2**63 - 1, -(2**63)]
+    df = spark.createDataFrame([(v,) for v in vals], "v bigint")
+    rows = df.select(
+        "v",
+        F.xxhash64("v").alias("h"),
+        F.xxhash64("v", F.lit(7)).alias("h7"),
+    ).collect()
+    for r in rows:
+        assert spark_xxhash64(Long(r["v"])) == r["h"], r["v"]
+        assert spark_xxhash64(Long(r["v"]), 7) == r["h7"], r["v"]
 
 
 def test_minhash_null_text_equals_empty(spark) -> None:
