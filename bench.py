@@ -196,11 +196,23 @@ def main() -> None:
             # scale story measured, not just plan-shaped
             "dedup_minhash_pairs",
             "embedding_neardup_lsh",
-            "doc_pii_scrub",
             "doc_contamination",
         ):
             fn = em.queries()[name]
             timed(name, lambda fn=fn: fn(spark, sf_dir).count())
+        # pii over the sf's own documents table — q_doc_pii_scrub reads a
+        # FIXED 500-doc planted fixture (that's its correctness oracle),
+        # which would make this row scale-independent
+        from neo4j_graphrag_python_spark.operators.text_analysis import (
+            pii_scrub,
+        )
+
+        timed(
+            "doc_pii_scrub",
+            lambda: pii_scrub(
+                spark.read.parquet(f"{sf_dir}/documents.parquet")
+            ).count(),
+        )
 
     extract_sec = timings["kg_emit_fused"]
     result = {

@@ -88,6 +88,19 @@ def ensure_documents(sf: float, seed: int = SEED) -> str:
             words = base
         else:
             words = _doc_words(rng)
+        if rng.random() < 0.05:
+            # planted PII so pii_scrub's redaction path (not just the
+            # scan) is exercised at every scale
+            words.append(
+                rng.choice(
+                    [
+                        f"user{i}@example.com",
+                        f"https://example.com/d/{i}",
+                        "call 555-201-%04d" % rng.randrange(10000),
+                        "10.0.%d.%d" % (rng.randrange(256), rng.randrange(256)),
+                    ]
+                )
+            )
         texts.append(" ".join(words))
         langs.append(rng.choices(_LANGS, weights=_LANG_W)[0])
         sources.append(f"src{rng.randrange(8)}")
