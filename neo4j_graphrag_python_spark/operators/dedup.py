@@ -588,6 +588,7 @@ def embedding_neardup_lsh(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Bucketed embedding near-dup: multi-table random-hyperplane LSH
     blocking + exact cosine rescore — the 100 TB-shape replacement for
@@ -700,6 +701,20 @@ def embedding_neardup_lsh(
         F.col(id_col).alias("id"),
         F.explode(F.array(*tables)).alias("tb"),
     ).select("id", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+    if max_bucket_size is not None:
+        # same guard as minhash_lsh_pairs: a (tbl, bucket) cell of m
+        # members contributes C(m,2) candidates, so dense regions (or a
+        # low threshold's coarse signatures) make the join output
+        # quadratic; truly similar pairs still meet in other tables'
+        # sharper cells.  Deterministic, off by default.
+        from pyspark.sql import Window
+
+        wb = Window.partitionBy("tbl", "bucket")
+        bucketed = (
+            bucketed.withColumn("_bsz", F.count("*").over(wb))
+            .where(F.col("_bsz") <= max_bucket_size)
+            .drop("_bsz")
+        )
     a = bucketed.select(F.col("id").alias("id_a"), "tbl", "bucket")
     b = bucketed.select(F.col("id").alias("id_b"), "tbl", "bucket")
     cand = (

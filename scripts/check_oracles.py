@@ -71,7 +71,21 @@ def dtype_mismatches(spark_pdf, duck_pdf):
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
-    spark = build_spark(app_name="oracle-check")
+    import os
+
+    if os.environ.get("ORACLE_STOCK_SESSION") == "1":
+        # driver-harness simulation: the real gate runs under a STOCK
+        # SparkSession (200 shuffle partitions, no session.py tuning) —
+        # results must be partitioning-independent there too
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .appName("oracle-check-stock")
+            .getOrCreate()
+        )
+    else:
+        spark = build_spark(app_name="oracle-check")
     con = duckdb.connect()
     for t in DRIVER_TABLES:
         p = f"{sf_dir}/{t}.parquet"

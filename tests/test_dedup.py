@@ -59,6 +59,20 @@ def test_minhash_lsh_finds_near_dups(docs) -> None:
     assert (4, 5) not in got
 
 
+def test_widen_for_compute(spark) -> None:
+    """Narrow frames widen to session parallelism before compute-dense
+    projections (a 6 MB parquet is 1-2 scan partitions but minhash does
+    ~10^2 hash ops per byte — measured pinning 2 of 32 cores at sf1);
+    already-wide frames pass through without an extra shuffle."""
+    from neo4j_graphrag_python_spark.operators.dedup import widen_for_compute
+
+    par = spark.sparkContext.defaultParallelism
+    narrow = spark.range(1000).coalesce(1)
+    assert widen_for_compute(narrow).rdd.getNumPartitions() == par
+    wide = spark.range(1000).repartition(par + 4)
+    assert widen_for_compute(wide) is wide  # no-op, no added exchange
+
+
 def test_minhash_bucket_cap_drops_flood_buckets(docs) -> None:
     """max_bucket_size guards adversarial corpora: with the cap below the
     duplicate-group size, the flooded buckets are dropped and no pairs
@@ -74,6 +88,30 @@ def test_minhash_bucket_cap_drops_flood_buckets(docs) -> None:
     # docs 1 and 2 are identical → every band bucket holding them has ≥2
     # members; cap=1 drops every multi-member bucket → zero candidates
     assert minhash_lsh_pairs(sigs, bands=8, max_bucket_size=1).count() == 0
+
+
+def test_elsh_bucket_cap_bounds_candidates(spark) -> None:
+    """embedding_neardup_lsh's max_bucket_size drops flooded (tbl,bucket)
+    cells: with a cap of 1 no candidate pair can form."""
+    from neo4j_graphrag_python_spark.operators.dedup import (
+        embedding_neardup_lsh,
+    )
+
+    import random
+
+    rng = random.Random(3)
+    base = [rng.gauss(0, 1) for _ in range(8)]
+    rows = [(i, [x + rng.gauss(0, 0.01) for x in base]) for i in range(6)]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    uncapped = embedding_neardup_lsh(
+        emb, dim=8, threshold=0.95, num_planes=4, num_tables=4
+    ).count()
+    assert uncapped > 0  # six near-identical vectors pair up
+    capped = embedding_neardup_lsh(
+        emb, dim=8, threshold=0.95, num_planes=4, num_tables=4,
+        max_bucket_size=1,
+    ).count()
+    assert capped == 0
 
 
 def test_minhash_jaccard_values(docs) -> None:
