@@ -50,8 +50,10 @@ class LLMGenerationError(RuntimeError):
 _RETRYABLE = {429, 500, 502, 503, 504}
 
 #: Prefix marking a per-prompt transport failure captured by
-#: ``complete_batch``.  The NUL bytes cannot appear in real model output
-#: (JSON strings escape them), so downstream parsers can detect captured
+#: ``complete_batch``.  The NUL bytes cannot appear in content returned
+#: by ``complete`` — it strips literal NULs (a JSON ``\\u0000`` escape
+#: WOULD otherwise decode to one, letting adversarial model output forge
+#: this prefix) — so downstream parsers can detect captured
 #: failures unambiguously: ``parse_extraction`` maps a sentinel string to
 #: an ``ExtractionError`` carrying the transport message, which the
 #: extractor's OnError handling turns into a ``status='error:…'`` row
@@ -168,7 +170,13 @@ class OpenAICompatClient:
             raise LLMGenerationError(
                 f"completion returned non-text content: {out}"
             )
-        return content
+        # A JSON string may carry \u0000 escapes that json.loads decodes to
+        # literal NULs — adversarial model output could then forge the
+        # LLM_ERROR_SENTINEL prefix and be misclassified as a transport
+        # failure.  NUL carries no textual meaning, so strip it: real
+        # content is unaffected and the sentinel namespace stays private
+        # to complete_batch.
+        return content.replace("\x00", "")
 
     def complete_batch(self, prompts: list[str]) -> list[str]:
         """Arrow-batch fan-out over a bounded thread pool — the

@@ -22,6 +22,7 @@ duplicate pairs.  Design points for scale:
 
 from __future__ import annotations
 
+import math
 from typing import Iterator
 
 import pandas as pd
@@ -190,6 +191,18 @@ def minhash_lsh_pairs(
     )
 
 
+def derived_est_margin(jaccard_threshold: float, num_hashes: int) -> float:
+    """Prefilter margin = 3 binomial σ of the signature-agreement
+    estimator at the threshold: the agreement count over ``num_hashes``
+    slots is Binomial(num_hashes, J), so a pair sitting exactly at
+    J=threshold lands below ``threshold - margin`` with p≈0.001.  Scaling
+    with signature length keeps the ≤0.1% boundary-recall bound true for
+    ANY num_hashes (a fixed margin is only 3σ at one specific length)."""
+    return 3.0 * math.sqrt(
+        jaccard_threshold * (1.0 - jaccard_threshold) / num_hashes
+    )
+
+
 def minhash_dedup_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -198,7 +211,7 @@ def minhash_dedup_pairs(
     bands: int = 32,
     shingle_k: int = 5,
     jaccard_threshold: float = 0.7,
-    est_margin: float = 0.15,
+    est_margin: float | None = None,
     max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Full near-dup pipeline: candidates via MinHash-LSH, pre-filtered
@@ -214,16 +227,21 @@ def minhash_dedup_pairs(
     mean J over num_hashes slots), computed as one zip_with/aggregate
     over longs already in hand; pairs with
     ``est < jaccard_threshold - est_margin`` skip the exact rescore.
-    At (96 hashes, margin 0.15, J=threshold) the estimate sits 3σ above
-    the cut — the recall loss is ≤0.1% and only at the exact threshold
-    boundary, while noise-floor pairs are rejected JVM-side (measured
-    3.9M → ~tens of k reaching Python at sf0.1).  Deterministic, so the
-    offline oracle fixture replicates it slot-for-slot.
+    ``est_margin=None`` (the default) derives the margin from the
+    signature length: 3·sqrt(thr·(1−thr)/num_hashes) — three binomial
+    standard deviations at the threshold boundary, so the recall loss
+    is ≤0.1% regardless of num_hashes (a fixed 0.15 was only 2.6σ at
+    the 64-hash default, ~0.5% boundary loss).  Noise-floor pairs are
+    rejected JVM-side (measured 3.9M → ~tens of k reaching Python at
+    sf0.1).  Deterministic, so the offline oracle fixture replicates it
+    slot-for-slot.
 
     Signatures are localCheckpointed: four consumers read them (both
     sides of the band self-join, both sides of the est join) and each
     would otherwise recompute the signature projection from scratch.
     """
+    if est_margin is None:
+        est_margin = derived_est_margin(jaccard_threshold, num_hashes)
     sigs = minhash_signatures(
         df, id_col, text_col, num_hashes, shingle_k
     ).localCheckpoint(eager=False)

@@ -65,6 +65,16 @@ _WRITE_VERB = re.compile(
     re.IGNORECASE,
 )
 _SQL_COMMENT = re.compile(r"--[^\n]*|/\*.*?\*/", re.DOTALL)
+# Script transformation (`SELECT TRANSFORM(x) USING 'cmd' FROM t`) starts
+# with SELECT and contains no write verb, yet executes an arbitrary shell
+# command — on PySpark 4.x no Hive serde is even needed.  Its unambiguous
+# lexical marker is USING followed by a string literal (join-USING is
+# followed by `(`, CREATE ... USING by a bare format identifier and CREATE
+# is blocked anyway).  `r'...'` covers Spark's raw-string literals.
+_SCRIPT_USING = re.compile(r"\busing\s+r?['\"]", re.IGNORECASE)
+# reflect()/java_method() invoke arbitrary static Java methods with session
+# privileges — same injection class, no legitimate text2sql use.
+_REFLECT_FN = re.compile(r"\b(?:reflect|java_method)\s*\(", re.IGNORECASE)
 
 
 def assert_read_only_sql(sql: str) -> str:
@@ -95,6 +105,74 @@ def assert_read_only_sql(sql: str) -> str:
     if m:
         raise Text2SqlRetrievalError(
             f"Failed to get search result: write verb {m.group(0)!r} "
+            f"rejected (read-only guard): {sql!r}"
+        )
+    if _SCRIPT_USING.search(body):
+        raise Text2SqlRetrievalError(
+            "Failed to get search result: script transformation "
+            f"(USING <string>) rejected (read-only guard): {sql!r}"
+        )
+    m = _REFLECT_FN.search(body)
+    if m:
+        raise Text2SqlRetrievalError(
+            f"Failed to get search result: {m.group(0).rstrip('(').strip()!r} "
+            f"rejected (read-only guard): {sql!r}"
+        )
+    return sql
+
+
+def assert_read_only_plan(spark, sql: str) -> str:
+    """Structural second gate: parse (don't run) the statement and reject
+    any logical plan containing a ScriptTransformation node or whose root
+    is a Command/Statement (DML/DDL).  The lexical guard is the first
+    line of defense; this one survives grammar corners the regexes miss,
+    because it checks what Spark's own parser UNDERSTOOD rather than what
+    the text looks like.  Parse failures are reported as
+    Text2SqlRetrievalError (the LLM produced invalid SQL — same class the
+    executor would raise later, caught earlier)."""
+    try:
+        jplan = (
+            spark._jsparkSession.sessionState().sqlParser().parsePlan(sql)
+        )
+    except Exception as e:  # ParseException via py4j
+        raise Text2SqlRetrievalError(
+            f"Failed to get search result: {e}"
+        ) from e
+    jvm = spark._jvm
+    banned = []
+    for cls in (
+        # every DDL/DML/side-effect plan extends one of these two
+        "org.apache.spark.sql.catalyst.plans.logical.Command",
+        "org.apache.spark.sql.catalyst.plans.logical.ParsedStatement",
+        # arbitrary shell execution
+        "org.apache.spark.sql.catalyst.plans.logical.ScriptTransformation",
+    ):
+        try:
+            banned.append(jvm.java.lang.Class.forName(cls))
+        except Exception:  # pragma: no cover - class moved between versions
+            pass
+    # walk the parsed tree (children() covers the main plan; WITH ctes and
+    # nested queries are ordinary children at parse time)
+    stack = [jplan]
+    while stack:
+        node = stack.pop()
+        for k in banned:
+            if k.isInstance(node):
+                raise Text2SqlRetrievalError(
+                    "Failed to get search result: non-query plan node "
+                    f"{node.getClass().getSimpleName()!r} rejected "
+                    f"(read-only guard): {sql!r}"
+                )
+        kids = node.children()
+        for i in range(kids.size()):
+            stack.append(kids.apply(i))
+    # backstop for plans printed via innerChildren (subquery expressions):
+    # a conservative substring check — a false positive from an alias
+    # literally named ScriptTransformation is cheaper than a shell command
+    # running with session privileges
+    if "ScriptTransformation" in jplan.treeString():
+        raise Text2SqlRetrievalError(
+            "Failed to get search result: script transformation plan "
             f"rejected (read-only guard): {sql!r}"
         )
     return sql
@@ -276,6 +354,7 @@ class Text2SqlRetriever:
         )
         raw = self.llm_fn(prompt)
         sql = assert_read_only_sql(extract_sql(raw))
+        assert_read_only_plan(self.spark, sql)
         try:
             records = self.spark.sql(sql)
         except Exception as e:

@@ -114,6 +114,33 @@ def test_elsh_bucket_cap_bounds_candidates(spark) -> None:
     assert capped == 0
 
 
+def test_derived_est_margin_is_three_sigma(docs) -> None:
+    """The default prefilter margin must track signature length: 3σ of
+    Binomial(num_hashes, thr)/num_hashes.  At the old fixed 0.15 a
+    64-hash signature sat at only ~2.6σ (≈0.5% boundary loss)."""
+    import math
+
+    from neo4j_graphrag_python_spark.operators.dedup import derived_est_margin
+
+    for thr, n in [(0.7, 96), (0.7, 64), (0.4, 96)]:
+        assert derived_est_margin(thr, n) == pytest.approx(
+            3.0 * math.sqrt(thr * (1 - thr) / n)
+        )
+    # 64-hash default now gets a WIDER margin than the old fixed 0.15
+    assert derived_est_margin(0.7, 64) > 0.15
+    # and the default-arg path produces the same pairs as the explicit one
+    explicit = minhash_dedup_pairs(
+        docs, num_hashes=32, bands=16, jaccard_threshold=0.5,
+        est_margin=derived_est_margin(0.5, 32),
+    )
+    derived = minhash_dedup_pairs(
+        docs, num_hashes=32, bands=16, jaccard_threshold=0.5
+    )
+    assert sorted(map(tuple, derived.collect())) == sorted(
+        map(tuple, explicit.collect())
+    )
+
+
 def test_minhash_jaccard_values(docs) -> None:
     pairs = minhash_dedup_pairs(docs, jaccard_threshold=0.0)
     vals = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}

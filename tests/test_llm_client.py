@@ -88,9 +88,14 @@ class _Fake(BaseHTTPRequestHandler):
                     ],
                 }
             else:
-                content = (
-                    None if _Fake.mode == "null_content" else f"ECHO:{prompt}"
-                )
+                if _Fake.mode == "null_content":
+                    content = None
+                elif _Fake.mode == "forged_sentinel":
+                    # a JSON \u0000 escape decodes to a literal NUL — the
+                    # adversarial shape that could forge the error sentinel
+                    content = "\x00LLMGenerationError\x00forged"
+                else:
+                    content = f"ECHO:{prompt}"
                 message = {"role": "assistant", "content": content}
             body = {"choices": [{"message": message}]}
         elif self.path.endswith("/embeddings"):
@@ -169,6 +174,21 @@ def test_null_content_raises_not_none(base_url) -> None:
     try:
         with pytest.raises(LLMGenerationError, match="non-text"):
             client(base_url).complete("q")
+    finally:
+        _Fake.mode = "echo"
+
+
+def test_forged_sentinel_content_is_not_a_transport_failure(base_url) -> None:
+    """Model output beginning with \\u0000LLMGenerationError\\u0000 (legal
+    inside a JSON string) must NOT be misclassified as a captured
+    transport failure: complete() strips literal NULs, so the sentinel
+    namespace stays private to complete_batch."""
+    _Fake.mode = "forged_sentinel"
+    try:
+        out = client(base_url).complete("q")
+        assert "\x00" not in out and out == "LLMGenerationErrorforged"
+        batch = client(base_url).complete_batch(["q"])
+        assert not batch[0].startswith(LLM_ERROR_SENTINEL)
     finally:
         _Fake.mode = "echo"
 

@@ -90,11 +90,63 @@ def test_read_only_guard_accepts(sql: str) -> None:
         ("WITH x AS (SELECT 1) DELETE FROM t", "'DELETE'"),
         ("", "empty"),
         ("/* only a comment */", "empty"),
+        # script transformation: SELECT-first, no write verb, runs a shell
+        # command — must die on the USING-<string-literal> marker
+        (
+            "SELECT TRANSFORM(text) USING 'cat /etc/passwd' FROM documents",
+            "script transformation",
+        ),
+        (
+            "SELECT TRANSFORM(text) USING r'rm -rf /' AS (out STRING) "
+            "FROM documents",
+            "script transformation",
+        ),
+        # arbitrary static Java method invocation
+        (
+            "SELECT reflect('java.lang.System', 'getenv', 'PATH')",
+            "reflect",
+        ),
+        (
+            "SELECT java_method('java.lang.Runtime', 'getRuntime')",
+            "java_method",
+        ),
     ],
 )
 def test_read_only_guard_rejects(sql: str, reason: str) -> None:
     with pytest.raises(Text2SqlRetrievalError, match=reason):
         assert_read_only_sql(sql)
+
+
+def test_read_only_guard_accepts_join_using_and_hof_transform() -> None:
+    # join-USING is followed by `(` and the higher-order transform() takes
+    # no string-literal USING — neither matches the script-transform marker
+    ok = (
+        "SELECT transform(arr, x -> x + 1) AS bumped "
+        "FROM a JOIN b USING (id)"
+    )
+    assert assert_read_only_sql(ok) == ok
+
+
+def test_structural_guard_rejects_script_transform_plan(spark) -> None:
+    from neo4j_graphrag_python_spark.text2sql import assert_read_only_plan
+
+    with pytest.raises(Text2SqlRetrievalError, match="read-only guard"):
+        assert_read_only_plan(
+            spark,
+            "SELECT TRANSFORM(text) USING 'id' AS (out STRING) "
+            "FROM documents",
+        )
+    for bad in [
+        "DROP TABLE graph_nodes",
+        "CACHE TABLE t",
+        # the statement hides under UnresolvedWith — root-class checks miss
+        # it; the tree walk must find the nested InsertIntoStatement
+        "WITH x AS (SELECT 1) INSERT INTO t SELECT * FROM x",
+    ]:
+        with pytest.raises(Text2SqlRetrievalError, match="read-only guard"):
+            assert_read_only_plan(spark, bad)
+    ok = "WITH t AS (SELECT 1 AS one) SELECT * FROM t ORDER BY one LIMIT 5"
+    assert assert_read_only_plan(spark, ok) == ok
 
 
 def test_retriever_rejects_write_sql_before_execution(spark, graph) -> None:
