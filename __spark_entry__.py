@@ -195,6 +195,10 @@ except Exception:  # pragma: no cover - testdata may be absent in CI
 ANN_NUM_PLANES, ANN_PROBE, ANN_K = 6, 3, 10
 KMEANS_C, KMEANS_NPROBE, KMEANS_SAMPLE_N = 12, 2, 2048
 ELSH_THRESHOLD, ELSH_TARGET_RECALL = 0.4, 0.95
+# IVF-cell-blocked near-dup at the SAME moderate threshold sign-LSH floods
+# at; (16 cells, nprobe 8) is measured lossless on the sf0.01 vectors, so
+# its oracle is the TRUE exact all-pairs SQL, not a replication fixture
+EIVF_THRESHOLD, EIVF_C, EIVF_NPROBE = 0.4, 16, 8
 MINHASH_NUM_HASHES, MINHASH_BANDS = 96, 32
 MINHASH_SHINGLE_K, MINHASH_THRESHOLD = 5, 0.4
 MINHASH_EST_MARGIN = 0.15
@@ -1094,6 +1098,26 @@ def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_neardup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-means IVF-cell-blocked embedding near-dup at the moderate
+    threshold (0.4) where sign-LSH floods (~52% of all pairs collide in
+    some table at the derived (m=6, L=46)).  Candidates are
+    probe-cell × primary-cell pairs — cluster-density-scaled, never a
+    constant fraction of C(n,2).  At (16 cells, nprobe 8) the blocking
+    is measured LOSSLESS on this corpus, so the oracle is the exact
+    all-pairs cosine SQL itself — recall 1.0 is part of what the hash
+    check asserts every round."""
+    from neo4j_graphrag_python_spark.operators.dedup import embedding_neardup_ivf
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return embedding_neardup_ivf(
+        emb,
+        threshold=EIVF_THRESHOLD,
+        num_centroids=EIVF_C,
+        nprobe=EIVF_NPROBE,
+    )
+
+
 def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowed rolling-hash fingerprints — hash-checked against
     FINGERPRINTS_FIXTURE (offline run of the identical scalar fn; pins
@@ -1205,6 +1229,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "dedup_jaccard_exact": q_dedup_jaccard_exact,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
+        "embedding_neardup_ivf": q_embedding_neardup_ivf,
         "doc_fingerprints": q_doc_fingerprints,
         "doc_pii_scrub": q_doc_pii_scrub,
         "doc_contamination": q_doc_contamination,
@@ -1404,6 +1429,20 @@ SELECT id, score FROM read_parquet('{KMEANS_FIXTURE}')
 """,
         "embedding_neardup_lsh": f"""
 SELECT id_a, id_b, cosine FROM read_parquet('{ELSH_FIXTURE}')
+""",
+        # TRUE exact oracle (no fixture): the IVF blocking at (16, 8) is
+        # lossless on this corpus, so DuckDB's all-pairs cosine IS the
+        # expected output — the hash check asserts recall 1.0 each round
+        "embedding_neardup_ivf": """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v))
+                * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.v, b.v)
+      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
+      >= 0.4
 """,
         # offline replication with a Spark-bit-compatible pure-Python
         # XXH64 (functions/xxhash.py; parity asserted in tests)

@@ -595,6 +595,239 @@ def lsh_achievable_recall(
     return 1.0 - (1.0 - pm) ** num_tables
 
 
+def embedding_neardup_ivf(
+    embeddings: DataFrame,
+    threshold: float = 0.4,
+    num_centroids: int = 16,
+    nprobe: int = 2,
+    sample_n: int = 2048,
+    seed: int = 42,
+    centroids: list[list[float]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-dup via k-means IVF cell blocking + exact cosine
+    rescore — the scale path for MODERATE thresholds, where sign-LSH
+    floods: at cosine 0.4 the derived (m=6, L=46) hyperplane plan makes
+    a RANDOM pair collide in some table with p ≈ 1−(1−1/64)⁴⁶ ≈ 0.52, so
+    half of C(n,2) becomes candidates before any prune (measured ~10⁹
+    candidates / OOM at 60k vectors).  Blocking by cluster cell instead
+    makes candidates scale with cluster density: each vector pairs only
+    with vectors whose PRIMARY cell is among its ``nprobe`` nearest
+    cells, so candidate count ≈ nprobe · Σ|cell|²/n-shaped, independent
+    of the threshold.
+
+    Semantics: candidate (a, b) iff primary(b) ∈ probes(a) OR
+    primary(a) ∈ probes(b); every candidate is exact-cosine rescored
+    (precision exact, like the LSH path).  Recall is data-dependent —
+    a qualifying pair straddling two non-adjacent clusters is missed —
+    and is asserted against :func:`embedding_neardup_exact` on fixtures
+    in tests (reference anchor resolver.py:266-271 is the all-pairs
+    semantics being approximated).  Raise ``nprobe`` (or
+    ``num_centroids``, which sharpens cells) to trade cost for recall;
+    skew from an oversized cluster is fixed by MORE centroids, never by
+    dropping cells — unlike the band-bucket caps, a cell is a content
+    cluster, so capping it would drop precisely the duplicates.
+
+    Plan shape mirrors the LSH path's vector-free discipline: one
+    widened projection computes the probe array (JVM HOFs over one
+    array-literal codebook), the explode carries ONLY (id, cell), the
+    candidate equi-join runs on the cell key, and vectors join back once
+    per side for the rescore.  The codebook fit
+    (:func:`fit_kmeans_centroids`) is the one driver-side step —
+    codebook-sized, seeded, shared with ``ann_topk_kmeans``.
+    """
+    from neo4j_graphrag_python_spark.operators.similarity import (
+        _centroid_topn,
+        cosine_col,
+        fit_kmeans_centroids,
+        sample_vectors,
+    )
+
+    if centroids is None:
+        centroids = fit_kmeans_centroids(
+            sample_vectors(embeddings, sample_n, id_col, vec_col),
+            num_centroids=num_centroids,
+            seed=seed,
+        )
+    v = F.col(vec_col).cast("array<double>")
+    assigned = widen_for_compute(embeddings).select(
+        F.col(id_col).alias("id"),
+        _centroid_topn(v, centroids, nprobe).alias("probes"),
+    )
+    prim = assigned.select("id", F.element_at("probes", 1).alias("cell"))
+    probe = assigned.select("id", F.explode("probes").alias("cell"))
+    cand = (
+        probe.withColumnRenamed("id", "id_p")
+        .join(prim.withColumnRenamed("id", "id_q"), "cell")
+        .where(F.col("id_p") != F.col("id_q"))
+        .select(
+            F.least("id_p", "id_q").alias("id_a"),
+            F.greatest("id_p", "id_q").alias("id_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    base = embeddings.select(F.col(id_col).alias("id"), v.alias("v"))
+    va = base.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"))
+    vb = base.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a", "id_b", cosine_col(F.col("v_a"), F.col("v_b")).alias("cosine")
+        )
+        .where(F.col("cosine") >= threshold)
+    )
+
+
+def embedding_neardup_blocked_exact(
+    embeddings: DataFrame,
+    threshold: float = 0.4,
+    block_rows: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """EXACT all-pairs cosine near-dup via distributed blocked GEMM —
+    the scale path for moderate thresholds on corpora whose normalized
+    matrix still fits in memory (n·dim ≤ ~10⁹ floats, i.e. up to ~10⁷
+    vectors at dim 64–1536).
+
+    Why it exists: at θ≈0.4, sign-LSH candidates are ~52% of C(n,2)
+    (flood) and cluster blocking loses the near-isotropic tail — at
+    moderate thresholds on diffuse data there IS no sparse candidate
+    structure to exploit, so the honest answer is to make the exact
+    computation fast instead of approximating it.  An n×n×dim GEMM at
+    60k×64 is ~4.6e11 multiply-adds — seconds of BLAS — where the
+    per-pair theta join (`embedding_neardup_exact`) grinds through
+    1.8e9 interpreted row comparisons and the LSH plan OOMs on its own
+    candidate dedup.
+
+    Plan: the L2-normalized matrix is ONE Spark broadcast (n·dim
+    float64 — 30 MB at 60k×64); the work unit is a BLOCK PAIR (i ≤ j)
+    of ``block_rows``-row tiles, distributed as a tiny DataFrame and
+    expanded by ``mapInPandas`` running ``A @ B.T`` per tile pair.
+    The GEMM only PRUNES (threshold − 1e-9 margin); survivors are
+    join-back rescored with the canonical fold-order
+    :func:`cosine_col`, so the output is bit-identical to the
+    all-pairs oracle — no float-reduction-order risk.  Ids are
+    rank-ordered into contiguous blocks, so a cross-block tile (i < j)
+    emits only id_a < id_b pairs by construction.
+
+    Beyond the broadcast tier (10⁸+ vectors, the true 100 TB regime)
+    all-pairs is infeasible for ANY method (10¹⁶ pairs); there the
+    corpus must carry cluster structure and
+    :func:`embedding_neardup_ivf` blocks by cell — these two operators
+    are the two rungs of the documented tiering, dispatched by
+    :func:`embedding_neardup` when the LSH noise model floods.
+    """
+    import numpy as np
+
+    from neo4j_graphrag_python_spark.operators.similarity import cosine_col
+
+    pdf = (
+        embeddings.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+        .orderBy("id")
+        .toPandas()  # Arrow path: n·dim floats, no per-row Python objects
+    )
+    if pdf.empty:
+        return embeddings.sparkSession.createDataFrame(
+            [], "id_a long, id_b long, cosine double"
+        )
+    ids = pdf["id"].to_numpy(dtype=np.int64)
+    mat = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+    nrm = np.linalg.norm(mat, axis=1, keepdims=True)
+    mat = mat / np.where(nrm == 0, 1.0, nrm)
+    spark = embeddings.sparkSession
+    bc = spark.sparkContext.broadcast((ids, mat))
+
+    n = len(ids)
+    nblocks = (n + block_rows - 1) // block_rows
+    tile_pairs = [(i, j) for i in range(nblocks) for j in range(i, nblocks)]
+    tiles = spark.createDataFrame(tile_pairs, "bi int, bj int").repartition(
+        min(len(tile_pairs), 4 * (spark.sparkContext.defaultParallelism or 8))
+    )
+    thr = float(threshold) - 1e-9
+
+    def _gemm(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bids, bmat = bc.value
+        for pdf in batches:
+            for bi, bj in zip(pdf["bi"], pdf["bj"]):
+                a0, a1 = bi * block_rows, min((bi + 1) * block_rows, len(bids))
+                b0, b1 = bj * block_rows, min((bj + 1) * block_rows, len(bids))
+                scores = bmat[a0:a1] @ bmat[b0:b1].T
+                ii, jj = np.nonzero(scores >= thr)
+                if bi == bj:
+                    keep = ii < jj
+                    ii, jj = ii[keep], jj[keep]
+                yield pd.DataFrame(
+                    {"id_a": bids[a0 + ii], "id_b": bids[b0 + jj]}
+                )
+
+    cand = tiles.mapInPandas(_gemm, "id_a long, id_b long")
+    v = F.col(vec_col).cast("array<double>")
+    base = embeddings.select(F.col(id_col).alias("id"), v.alias("v"))
+    va = base.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"))
+    vb = base.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a", "id_b", cosine_col(F.col("v_a"), F.col("v_b")).alias("cosine")
+        )
+        .where(F.col("cosine") >= threshold)
+    )
+
+
+def embedding_neardup(
+    embeddings: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    target_recall: float = 0.95,
+    max_noise_collision: float = 0.01,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    **kwargs,
+) -> DataFrame:
+    """Threshold-aware dispatcher: sign-LSH where its pruning works,
+    k-means IVF cell blocking where it floods.
+
+    The decision is the sign-LSH plan's own collision model: with the
+    (m, L) that ``lsh_params_for`` derives for this threshold, an
+    UNRELATED pair (cosine ≈ 0, per-plane agreement ½) still collides in
+    some table with p_noise = 1 − (1 − 2^−m)^L.  When p_noise exceeds
+    ``max_noise_collision`` the candidate set is a constant fraction of
+    C(n,2) — quadratic whatever the data — so the IVF path is used
+    instead (p_noise ≈ 0.52 at threshold 0.4, ≈ 0.05 at 0.7, ≈ 0.007 at
+    0.8 with the default recall target: high thresholds keep LSH, the
+    moderate ones that flooded now block by cluster cell).  Extra
+    ``kwargs`` pass through to the chosen implementation."""
+    m, L = lsh_params_for(threshold, target_recall)
+    p_noise = 1.0 - (1.0 - 0.5**m) ** L
+    if p_noise > max_noise_collision:
+        kwargs.pop("max_bucket_size", None)
+        return embedding_neardup_ivf(
+            embeddings,
+            threshold=threshold,
+            id_col=id_col,
+            vec_col=vec_col,
+            **kwargs,
+        )
+    for k in ("num_centroids", "nprobe", "sample_n", "centroids"):
+        kwargs.pop(k, None)
+    return embedding_neardup_lsh(
+        embeddings,
+        dim=dim,
+        threshold=threshold,
+        target_recall=target_recall,
+        id_col=id_col,
+        vec_col=vec_col,
+        **kwargs,
+    )
+
+
 def embedding_neardup_lsh(
     embeddings: DataFrame,
     dim: int,

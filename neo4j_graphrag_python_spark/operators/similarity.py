@@ -201,42 +201,46 @@ def fit_kmeans_centroids(
 ) -> list[list[float]]:
     """Spherical k-means on a driver-side sample → unit-norm centroids.
 
-    Pure Python on purpose: the offline oracle fixture replays this
-    EXACTLY (same seeded init via random.Random(seed).sample, same
-    first-wins argmax, same fold order in the dot products), so the
-    distributed assignment/probe path can be value-pinned rather than
-    row-counted.  Fixed iteration count (no epsilon test) keeps the
-    result independent of float tolerance choices.  Empty cells keep
-    their previous centroid (a standard k-means guard).
+    numpy-vectorized (float64): the inner loop is one sample×k GEMM for
+    the assignments plus a segmented mean — this is what lets a 100 TB
+    IVF fit k≈10³ cells on a 50k-row sample in seconds where the
+    original pure-Python triple loop (O(sample·k·dim·iters) interpreted
+    operations) took minutes-to-hours.  Determinism is preserved where
+    it matters for the value-pinned fixtures: the init is the same
+    ``random.Random(seed).sample`` index draw as before, the assignment
+    is ``argmax`` (first-wins on ties, like ``array_position``), the
+    iteration count is fixed (no epsilon test), and on one host/numpy
+    the reductions are bit-stable call-to-call — the offline fixture
+    builder calls THIS function, so Spark path and oracle share one
+    codebook by construction.  Empty cells keep their previous centroid
+    (a standard k-means guard).
     """
-    import math
     import random
+
+    import numpy as np
 
     if not sample:
         raise ValueError("cannot fit centroids on an empty sample")
     k = min(num_centroids, len(sample))
 
-    def unit(v: list[float]) -> list[float]:
-        nrm = math.sqrt(sum(x * x for x in v))
-        return [x / nrm for x in v] if nrm > 0 else list(v)
-
-    pts = [unit(v) for v in sample]
+    pts = np.asarray(sample, dtype=np.float64)
+    nrm = np.linalg.norm(pts, axis=1, keepdims=True)
+    pts = np.where(nrm > 0, pts / np.where(nrm == 0, 1.0, nrm), pts)
     rng = random.Random(seed)
-    centroids = [list(pts[i]) for i in rng.sample(range(len(pts)), k)]
+    centroids = pts[rng.sample(range(len(pts)), k)].copy()
     for _ in range(iters):
-        sums = [[0.0] * len(pts[0]) for _ in range(k)]
-        counts = [0] * k
-        for p in pts:
-            dots = [sum(a * b for a, b in zip(p, c)) for c in centroids]
-            j = dots.index(max(dots))  # first-wins, like array_position
-            counts[j] += 1
-            s = sums[j]
-            for i, x in enumerate(p):
-                s[i] += x
-        for j in range(k):
-            if counts[j]:
-                centroids[j] = unit([x / counts[j] for x in sums[j]])
-    return centroids
+        # (n, k) dot products; argmax is first-wins like array_position
+        assign = np.argmax(pts @ centroids.T, axis=1)
+        counts = np.bincount(assign, minlength=k).astype(np.float64)
+        sums = np.zeros_like(centroids)
+        np.add.at(sums, assign, pts)
+        nonempty = counts > 0
+        means = sums[nonempty] / counts[nonempty, None]
+        mnrm = np.linalg.norm(means, axis=1, keepdims=True)
+        centroids[nonempty] = np.where(
+            mnrm > 0, means / np.where(mnrm == 0, 1.0, mnrm), means
+        )
+    return [[float(x) for x in c] for c in centroids]
 
 
 def _centroid_argmax(vec: Column, centroids: list[list[float]]) -> Column:
@@ -262,6 +266,45 @@ def _centroid_argmax(vec: Column, centroids: list[list[float]]) -> Column:
         ),
     )
     return (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
+
+
+def _centroid_topn(
+    vec: Column, centroids: list[list[float]], nprobe: int
+) -> Column:
+    """Indices of the ``nprobe`` max-dot-product centroids, JVM-side,
+    ordered by (-dot, index) — the same first-wins tie rule as
+    :func:`_centroid_argmax` / ``topk_ivf_kmeans``'s driver-side probe
+    selection, so ``element_at(result, 1)`` IS the primary cell.  One
+    array-literal codebook (the %.17e lesson), one transform for the
+    dots, one bounded array_sort over k structs — no shuffle, no
+    Python."""
+    rows = ",".join(
+        "array(" + ",".join(f"{float(x):.17e}" for x in c) + ")"
+        for c in centroids
+    )
+    mat = F.expr(f"array({rows})")
+    dots = F.transform(
+        mat,
+        lambda c: F.aggregate(
+            F.zip_with(vec, c, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda s, x: s + x,
+        ),
+    )
+    idx = F.sequence(F.lit(0), F.lit(len(centroids) - 1))
+    zipped = F.zip_with(
+        dots, idx, lambda d, i: F.struct(d.alias("d"), i.alias("i"))
+    )
+    ranked = F.array_sort(
+        zipped,
+        lambda l, r: F.when(l["d"] > r["d"], F.lit(-1))
+        .when(l["d"] < r["d"], F.lit(1))
+        .otherwise((l["i"] - r["i"]).cast("int")),
+    )
+    return F.transform(
+        F.slice(ranked, 1, min(nprobe, len(centroids))),
+        lambda s: s["i"].cast("int"),
+    )
 
 
 def build_ivf_kmeans_index(

@@ -322,6 +322,123 @@ def test_embedding_lsh_recall_vs_exact(spark) -> None:
     assert lsh <= exact  # exact rescore ⇒ perfect precision
 
 
+def test_embedding_ivf_recall_at_moderate_threshold(spark) -> None:
+    """θ=0.4 is where sign-LSH floods (p_noise ≈ 0.52 per pair at the
+    derived (6, 46)); IVF cell blocking must reach ≥0.95 recall at the
+    driver operating point (16 cells, nprobe 8) with exact precision by
+    construction.  (On the sf0.01 corpus the same point is measured
+    LOSSLESS — the driver query's oracle is the exact all-pairs SQL, so
+    that stronger property is re-asserted every round.)"""
+    from neo4j_graphrag_python_spark.operators.dedup import (
+        embedding_neardup_exact,
+        embedding_neardup_ivf,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_neardup_exact(emb, threshold=0.4).collect()
+    }
+    got = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_neardup_ivf(
+            emb, threshold=0.4, num_centroids=16, nprobe=8
+        ).collect()
+    }
+    assert exact, "fixture should contain near-dup embeddings"
+    recall = len(set(exact) & set(got)) / len(exact)
+    assert recall >= 0.95, f"IVF recall {recall:.3f} < 0.95"
+    assert set(got) <= set(exact)  # exact rescore ⇒ perfect precision
+    assert all(got[k] == exact[k] for k in got)  # identical rounded cosines
+
+
+def test_embedding_ivf_planted_clusters_cheap_probes(spark) -> None:
+    """On CLUSTERED data (the 100 TB shape) a small nprobe already finds
+    the planted duplicates: candidates scale with cluster density, not
+    with the ~52% random-collision floor of moderate-threshold LSH."""
+    import random
+
+    from neo4j_graphrag_python_spark.operators.dedup import (
+        embedding_neardup_ivf,
+    )
+
+    rng = random.Random(11)
+    dim = 32
+    centers = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(8)]
+    rows = []
+    for i in range(400):
+        c = centers[i % 8]
+        v = [x + rng.gauss(0, 0.05) for x in c]
+        rows.append((i, v))
+        if i < 30:  # planted perturbed near-dup, same cluster
+            rows.append((1000 + i, [x + rng.gauss(0, 0.01) for x in v]))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_neardup_ivf(
+            emb, threshold=0.95, num_centroids=8, nprobe=2
+        ).collect()
+    }
+    for i in range(30):
+        assert (i, 1000 + i) in got, f"planted dup {i} missed"
+
+
+def test_embedding_ivf_explode_is_vector_free(spark) -> None:
+    """The probe explode must carry only (id, cell): shipping the vector
+    through an ×nprobe explode would multiply every embedding's bytes
+    through the shuffle — the same discipline the LSH path enforces."""
+    from neo4j_graphrag_python_spark.operators.dedup import (
+        embedding_neardup_ivf,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = embedding_neardup_ivf(emb, threshold=0.4, num_centroids=8, nprobe=2)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    # Generate (the explode) must not appear with the embedding column in
+    # its output; the vector only re-enters at the final join-back
+    for line in plan.splitlines():
+        if "Generate" in line and "explode" in line:
+            assert "embedding" not in line and ", v" not in line, line
+
+
+def test_embedding_neardup_dispatcher_routes_by_noise_collision(spark) -> None:
+    """Moderate thresholds (LSH noise collision > 1%) must route to IVF;
+    high thresholds keep the LSH plan.  Outputs are deterministic, so
+    routing is asserted by equality with the explicit paths."""
+    from neo4j_graphrag_python_spark.operators.dedup import (
+        embedding_neardup,
+        embedding_neardup_ivf,
+        embedding_neardup_lsh,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    dim = len(emb.select("embedding").head()["embedding"])
+
+    via_dispatch = {
+        tuple(r)
+        for r in embedding_neardup(
+            emb, dim=dim, threshold=0.4, num_centroids=16, nprobe=8
+        ).collect()
+    }
+    via_ivf = {
+        tuple(r)
+        for r in embedding_neardup_ivf(
+            emb, threshold=0.4, num_centroids=16, nprobe=8
+        ).collect()
+    }
+    assert via_dispatch == via_ivf
+
+    high_dispatch = {
+        tuple(r)
+        for r in embedding_neardup(emb, dim=dim, threshold=0.95).collect()
+    }
+    high_lsh = {
+        tuple(r)
+        for r in embedding_neardup_lsh(emb, dim=dim, threshold=0.95).collect()
+    }
+    assert high_dispatch == high_lsh
+
+
 def test_embedding_lsh_high_threshold_planted(spark) -> None:
     """At the true near-dup operating point (cosine ≥ 0.95) the derived
     (m, L) must find planted perturbed duplicates with few tables."""
