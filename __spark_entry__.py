@@ -487,8 +487,17 @@ def _ensure_minhash_fixture() -> str:
             for b in range(bands):
                 key = (b, tuple(sig[b * rows_per_band : (b + 1) * rows_per_band]))
                 buckets[key].append(did)
+        # derived band-bucket cap, replicated (bucket-hash equality ⟺
+        # slice equality, so group size here == Spark's window count)
+        from neo4j_graphrag_python_spark.operators.dedup import (
+            derived_bucket_cap,
+        )
+
+        cap = derived_bucket_cap(len(sigs))
         pairs: set[tuple[int, int]] = set()
         for members in buckets.values():
+            if len(members) > cap:
+                continue
             members.sort()
             for ai in range(len(members)):
                 for bi in range(ai + 1, len(members)):

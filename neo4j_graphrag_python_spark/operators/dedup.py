@@ -146,8 +146,11 @@ def minhash_lsh_pairs(
     C(m,2) pairs, so a few corpus-wide buckets make the join output
     quadratic.  Buckets larger than the cap are dropped (their members
     are overwhelmingly sub-threshold noise; genuinely similar pairs
-    still meet in OTHER, sharper bands).  Off by default — semantics are
-    exact banding unless the caller opts in; deterministic either way.
+    still meet in OTHER, sharper bands — measured, not just asserted:
+    see ``derived_bucket_cap`` and the adversarial-corpus recall test).
+    Off by default HERE (this is the low-level banding primitive);
+    :func:`minhash_dedup_pairs` derives a corpus-sized cap by default.
+    Deterministic either way.
     """
     rows_per_band = F.size("sig") / F.lit(bands)
     banded = signatures.select(
@@ -191,6 +194,31 @@ def minhash_lsh_pairs(
     )
 
 
+def derived_bucket_cap(n_docs: int) -> int:
+    """Default LSH band-bucket cap: ``ceil(sqrt(2·n))`` (floor 16).
+
+    Derivation: a bucket of m members contributes C(m,2) candidate
+    pairs, so capping m at sqrt(2n) bounds any SINGLE bucket's
+    contribution to ≤ n pairs — one degenerate corpus-wide bucket
+    (boilerplate slice, tiny vocabulary) can no longer make the
+    candidate join quadratic on its own; it is clipped to linear.
+
+    Recall cost model (measured in test_minhash_cap_adversarial_recall
+    and scripts/bench_cap_recall.py, not just asserted): a true
+    near-dup CLUSTER of size m produces per-band buckets of ≈ m·J^r
+    members, so clusters up to ~cap/J^r survive intact — at n=60k the
+    cap is 347, i.e. clusters of several hundred mutually-similar docs
+    keep all their pairs, far above near-dup cluster sizes in
+    exact-deduped corpora.  The one genuinely lossy shape is a cluster
+    of IDENTICAL texts larger than the cap (identical signatures ⇒ the
+    same over-cap bucket in EVERY band, nothing survives) — which is
+    why exact dedup (:func:`dedup_exact_docs`) runs first in the
+    documented pipeline order; it collapses those clusters to one
+    representative before banding ever sees them.
+    """
+    return max(16, math.ceil(math.sqrt(2.0 * max(n_docs, 0))))
+
+
 def derived_est_margin(jaccard_threshold: float, num_hashes: int) -> float:
     """Prefilter margin = 3 binomial σ of the signature-agreement
     estimator at the threshold: the agreement count over ``num_hashes``
@@ -212,7 +240,7 @@ def minhash_dedup_pairs(
     shingle_k: int = 5,
     jaccard_threshold: float = 0.7,
     est_margin: float | None = None,
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None | str = "auto",
 ) -> DataFrame:
     """Full near-dup pipeline: candidates via MinHash-LSH, pre-filtered
     by the JVM-side signature-agreement estimate, verified with exact
@@ -236,6 +264,13 @@ def minhash_dedup_pairs(
     sf0.1).  Deterministic, so the offline oracle fixture replicates it
     slot-for-slot.
 
+    ``max_bucket_size="auto"`` (the default) derives the band-bucket cap
+    from the corpus size (:func:`derived_bucket_cap`: ceil(sqrt(2n)), so
+    no single degenerate bucket contributes more than n candidate
+    pairs); pass ``None`` for exact uncapped banding or an int to pin
+    it.  Run exact dedup first — identical-text clusters above the cap
+    are the one shape banding cannot recover (same bucket every band).
+
     Signatures are localCheckpointed: four consumers read them (both
     sides of the band self-join, both sides of the est join) and each
     would otherwise recompute the signature projection from scratch.
@@ -245,6 +280,10 @@ def minhash_dedup_pairs(
     sigs = minhash_signatures(
         df, id_col, text_col, num_hashes, shingle_k
     ).localCheckpoint(eager=False)
+    if max_bucket_size == "auto":
+        # the count doubles as the checkpoint materialization the join
+        # needs anyway; cap scales with the corpus (see derived_bucket_cap)
+        max_bucket_size = derived_bucket_cap(sigs.count())
     pairs = minhash_lsh_pairs(sigs, bands, max_bucket_size=max_bucket_size)
     agree = F.aggregate(
         F.zip_with(
@@ -605,6 +644,7 @@ def embedding_neardup_ivf(
     centroids: list[list[float]] | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    broadcast_rescore: bool = True,
 ) -> DataFrame:
     """Embedding near-dup via k-means IVF cell blocking + exact cosine
     rescore — the scale path for MODERATE thresholds, where sign-LSH
@@ -636,6 +676,17 @@ def embedding_neardup_ivf(
     per side for the rescore.  The codebook fit
     (:func:`fit_kmeans_centroids`) is the one driver-side step —
     codebook-sized, seeded, shared with ``ann_topk_kmeans``.
+
+    ``broadcast_rescore=True`` (default) broadcasts the (id, vector)
+    projections into the rescore joins: without the hint, Catalyst
+    sort-merges them, which means every CANDIDATE row is exchanged
+    carrying two full vectors — measured 10s of GB of shuffle spill at
+    60k×64 vectors with a 5·10⁷ candidate set, versus two 30 MB
+    broadcasts and a fully streaming rescore with it.  The hint is
+    right whenever the corpus's (id, vector) projection fits executor
+    memory (up to ~10⁷ vectors); beyond that set False — at that scale
+    the candidate set must be repartitioned by cell and rescored
+    per-cell anyway, and the sort-merge join is the correct shape.
     """
     from neo4j_graphrag_python_spark.operators.similarity import (
         _centroid_topn,
@@ -670,6 +721,8 @@ def embedding_neardup_ivf(
     base = embeddings.select(F.col(id_col).alias("id"), v.alias("v"))
     va = base.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"))
     vb = base.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"))
+    if broadcast_rescore:
+        va, vb = F.broadcast(va), F.broadcast(vb)
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")
@@ -769,8 +822,11 @@ def embedding_neardup_blocked_exact(
     cand = tiles.mapInPandas(_gemm, "id_a long, id_b long")
     v = F.col(vec_col).cast("array<double>")
     base = embeddings.select(F.col(id_col).alias("id"), v.alias("v"))
-    va = base.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"))
-    vb = base.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"))
+    # survivors ≈ output size, but broadcasting the (id, vec) sides (the
+    # same matrix the GEMM already broadcast) keeps the rescore streaming
+    # — no survivor row is ever exchanged carrying vectors
+    va = F.broadcast(base.select(F.col("id").alias("id_a"), F.col("v").alias("v_a")))
+    vb = F.broadcast(base.select(F.col("id").alias("id_b"), F.col("v").alias("v_b")))
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")
@@ -792,22 +848,47 @@ def embedding_neardup(
     **kwargs,
 ) -> DataFrame:
     """Threshold-aware dispatcher: sign-LSH where its pruning works,
-    k-means IVF cell blocking where it floods.
+    exact blocked GEMM or IVF cell blocking where it floods.
 
     The decision is the sign-LSH plan's own collision model: with the
     (m, L) that ``lsh_params_for`` derives for this threshold, an
     UNRELATED pair (cosine ≈ 0, per-plane agreement ½) still collides in
     some table with p_noise = 1 − (1 − 2^−m)^L.  When p_noise exceeds
     ``max_noise_collision`` the candidate set is a constant fraction of
-    C(n,2) — quadratic whatever the data — so the IVF path is used
-    instead (p_noise ≈ 0.52 at threshold 0.4, ≈ 0.05 at 0.7, ≈ 0.007 at
-    0.8 with the default recall target: high thresholds keep LSH, the
-    moderate ones that flooded now block by cluster cell).  Extra
-    ``kwargs`` pass through to the chosen implementation."""
+    C(n,2) — quadratic whatever the data (p_noise ≈ 0.52 at threshold
+    0.4, ≈ 0.05 at 0.7, ≈ 0.007 at 0.8 with the default recall target) —
+    so LSH is abandoned.  Within the flood regime the tier is picked by
+    corpus size (one count):
+
+    * ``n·dim ≤ broadcast_cells`` — :func:`embedding_neardup_blocked_exact`.
+      Measured (BENCH.md): at 60k×64/θ=0.4 the complete exact answer
+      takes 29 s where IVF at a 2× candidate budget reached only recall
+      0.42 — at moderate thresholds on DIFFUSE data there is no sparse
+      candidate structure, so exact-but-fast beats approximate.
+    * larger — :func:`embedding_neardup_ivf`: all-pairs is infeasible
+      for any method at 10⁸⁺ vectors; a corpus that large must carry
+      cluster structure for near-dup to be meaningful, and cell blocking
+      exploits exactly that (planted-cluster recall ≥0.95 at nprobe=2).
+
+    Extra ``kwargs`` pass through to the chosen implementation."""
     m, L = lsh_params_for(threshold, target_recall)
     p_noise = 1.0 - (1.0 - 0.5**m) ** L
     if p_noise > max_noise_collision:
         kwargs.pop("max_bucket_size", None)
+        broadcast_cells = kwargs.pop("broadcast_cells", 50_000_000)
+        n = embeddings.count()
+        if n * dim <= broadcast_cells:
+            for k in ("num_centroids", "nprobe", "sample_n", "centroids",
+                      "seed", "broadcast_rescore"):
+                kwargs.pop(k, None)
+            return embedding_neardup_blocked_exact(
+                embeddings,
+                threshold=threshold,
+                id_col=id_col,
+                vec_col=vec_col,
+                **kwargs,
+            )
+        kwargs.pop("block_rows", None)
         return embedding_neardup_ivf(
             embeddings,
             threshold=threshold,

@@ -44,8 +44,9 @@ def main() -> None:
     n = emb.count()
 
     # timed: the full-corpus IVF near-dup (fit + assign + block + rescore)
+    reps = int(os.environ.get("EIVF_REPS", "1"))
     walls = []
-    for _ in range(2):
+    for _ in range(reps):
         t0 = time.time()
         out = embedding_neardup_ivf(
             emb,

@@ -90,6 +90,65 @@ def test_minhash_bucket_cap_drops_flood_buckets(docs) -> None:
     assert minhash_lsh_pairs(sigs, bands=8, max_bucket_size=1).count() == 0
 
 
+def _adversarial_boilerplate_corpus(n_noise: int = 1200, n_planted: int = 20):
+    """High-noise-floor corpus: every doc shares a long boilerplate
+    header (cross-doc Jaccard ≈ 0.5-0.6, BELOW the 0.7 threshold but far
+    above random), so most docs' per-band min-hash slices are the pure
+    boilerplate tuple — one corpus-wide bucket per band.  Plus
+    ``n_planted`` true near-dup pairs (tiny tail perturbation, J ≥ 0.9)."""
+    import random
+
+    rng = random.Random(7)
+    letters = "abcdefghijklmnopqrstuvwxyz "
+    boiler = "".join(rng.choice(letters) for _ in range(400))
+    rows = []
+    for i in range(n_noise):
+        tail = "".join(rng.choice(letters) for _ in range(180))
+        rows.append((i, boiler + tail))
+        if i < n_planted:
+            # perturb 3 chars mid-tail → J ≈ 0.95 vs the original
+            t = list(tail)
+            for p in (40, 90, 140):
+                t[p] = "q" if t[p] != "q" else "z"
+            rows.append((100000 + i, boiler + "".join(t)))
+    planted = {(i, 100000 + i) for i in range(n_planted)}
+    return rows, planted
+
+
+def test_minhash_cap_adversarial_recall(spark) -> None:
+    """The derived bucket cap's recall claim, MEASURED: on a
+    boilerplate-flooded corpus the cap must (a) cut the candidate join
+    by an order of magnitude and (b) keep every planted near-dup pair —
+    true pairs meet in sharper buckets (≥1 slot's min drawn from the
+    shared tail), only the corpus-wide boilerplate tuple is dropped."""
+    from neo4j_graphrag_python_spark.operators.dedup import (
+        derived_bucket_cap,
+        minhash_dedup_pairs,
+        minhash_lsh_pairs,
+        minhash_signatures,
+    )
+
+    rows, planted = _adversarial_boilerplate_corpus()
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    n = len(rows)
+    cap = derived_bucket_cap(n)
+    assert cap < n // 4  # the cap actually bites at this corpus size
+
+    sigs = minhash_signatures(docs, num_hashes=96)
+    uncapped = minhash_lsh_pairs(sigs, bands=32).count()
+    capped = minhash_lsh_pairs(sigs, bands=32, max_bucket_size=cap).count()
+    assert uncapped > 10 * max(capped, 1), (uncapped, capped)
+
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_dedup_pairs(  # default cap = "auto"
+            docs, num_hashes=96, bands=32, jaccard_threshold=0.7
+        ).collect()
+    }
+    missed = planted - got
+    assert not missed, f"cap lost planted pairs: {sorted(missed)[:5]}"
+
+
 def test_elsh_bucket_cap_bounds_candidates(spark) -> None:
     """embedding_neardup_lsh's max_bucket_size drops flooded (tbl,bucket)
     cells: with a cap of 1 no candidate pair can form."""
@@ -402,11 +461,14 @@ def test_embedding_ivf_explode_is_vector_free(spark) -> None:
 
 
 def test_embedding_neardup_dispatcher_routes_by_noise_collision(spark) -> None:
-    """Moderate thresholds (LSH noise collision > 1%) must route to IVF;
-    high thresholds keep the LSH plan.  Outputs are deterministic, so
-    routing is asserted by equality with the explicit paths."""
+    """Moderate thresholds (LSH noise collision > 1%) abandon LSH:
+    broadcast-tier corpora get the exact blocked-GEMM answer, larger
+    ones get IVF cell blocking; high thresholds keep the LSH plan.
+    Outputs are deterministic, so routing is asserted by equality with
+    the explicit paths."""
     from neo4j_graphrag_python_spark.operators.dedup import (
         embedding_neardup,
+        embedding_neardup_blocked_exact,
         embedding_neardup_ivf,
         embedding_neardup_lsh,
     )
@@ -416,8 +478,23 @@ def test_embedding_neardup_dispatcher_routes_by_noise_collision(spark) -> None:
 
     via_dispatch = {
         tuple(r)
+        for r in embedding_neardup(emb, dim=dim, threshold=0.4).collect()
+    }
+    via_exact = {
+        tuple(r)
+        for r in embedding_neardup_blocked_exact(
+            emb, threshold=0.4
+        ).collect()
+    }
+    assert via_dispatch == via_exact
+
+    # beyond the broadcast tier (forced small here) the same call
+    # becomes IVF cell blocking
+    via_dispatch_big = {
+        tuple(r)
         for r in embedding_neardup(
-            emb, dim=dim, threshold=0.4, num_centroids=16, nprobe=8
+            emb, dim=dim, threshold=0.4, broadcast_cells=1,
+            num_centroids=16, nprobe=8,
         ).collect()
     }
     via_ivf = {
@@ -426,7 +503,7 @@ def test_embedding_neardup_dispatcher_routes_by_noise_collision(spark) -> None:
             emb, threshold=0.4, num_centroids=16, nprobe=8
         ).collect()
     }
-    assert via_dispatch == via_ivf
+    assert via_dispatch_big == via_ivf
 
     high_dispatch = {
         tuple(r)
