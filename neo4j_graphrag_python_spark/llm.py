@@ -26,19 +26,23 @@ Spark-first design points:
 * **Bounded retries** with exponential backoff on 429/5xx/URLError —
   transient rate limits must not fail a 10^5-task stage.
 
-No third-party SDK is imported; everything is ``urllib``.  Tests run
-against a local ``http.server`` fake speaking the same protocol.
+No third-party SDK is imported; the transport is stdlib ``http.client``
+over a thread-local keep-alive connection pool (one live socket per
+worker thread × gateway — a 10³-10⁴-prompt ``mapInPandas`` stage must
+not pay a TCP/TLS handshake per prompt).  Tests run against a local
+``http.server`` fake speaking the same protocol.
 """
 
 from __future__ import annotations
 
+import http.client
 import json
 import os
+import threading
 import time
-import urllib.error
-import urllib.request
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
+from urllib.parse import urlsplit
 
 
 class LLMGenerationError(RuntimeError):
@@ -48,6 +52,35 @@ class LLMGenerationError(RuntimeError):
 
 
 _RETRYABLE = {429, 500, 502, 503, 504}
+
+#: Thread-local keep-alive connection pool, keyed (scheme, host, port).
+#: One live gateway connection per (executor worker thread × host):
+#: ``complete_batch``'s thread pool fans prompts over ≤max_concurrency
+#: threads and each keeps its socket across requests — measured (see
+#: BENCH.md §llm extraction) the per-request TCP handshake is the
+#: difference between socket-per-request urllib and a sustained
+#: 10³-10⁴-prompt stage against a remote gateway (handshake = 1 RTT,
+#: TLS = 2 more; at 50 ms RTT that triples per-prompt latency).
+#: Thread-local ⇒ no locking and no cross-thread response interleaving.
+_CONN_POOL = threading.local()
+
+
+def _pooled_connection(
+    scheme: str, host: str, port: int, timeout: float
+) -> http.client.HTTPConnection:
+    pool = getattr(_CONN_POOL, "conns", None)
+    if pool is None:
+        pool = _CONN_POOL.conns = {}
+    key = (scheme, host, port)
+    conn = pool.get(key)
+    if conn is None:
+        cls = (
+            http.client.HTTPSConnection
+            if scheme == "https"
+            else http.client.HTTPConnection
+        )
+        conn = pool[key] = cls(host, port, timeout=timeout)
+    return conn
 
 #: Prefix marking a per-prompt transport failure captured by
 #: ``complete_batch``.  The NUL bytes cannot appear in content returned
@@ -103,8 +136,43 @@ class OpenAICompatClient:
     system_instruction: str | None = None
     extra_params: dict = field(default_factory=dict)
     capture_errors: bool = True
+    #: close the socket after every response (measurement/debug knob —
+    #: reproduces the socket-per-request behavior keep-alive replaced)
+    keep_alive: bool = True
 
     # -- wire ------------------------------------------------------------
+
+    def _send_once(
+        self, url: str, body: bytes, headers: dict
+    ) -> tuple[int, bytes]:
+        """One HTTP round trip over the thread-local keep-alive pool.
+
+        A pooled socket can be stale (server idled it out, HTTP/1.0
+        gateway closes per response): the first send error closes the
+        connection and retries ONCE on a fresh socket — so keep-alive is
+        an optimization, never a correctness assumption, and plain
+        close-per-response servers cost exactly what socket-per-request
+        urllib did.  Error responses are fully drained here (read before
+        return), so no socket is held through a backoff sleep."""
+        parts = urlsplit(url)
+        port = parts.port or (443 if parts.scheme == "https" else 80)
+        reqpath = parts.path + (f"?{parts.query}" if parts.query else "")
+        for fresh in (False, True):
+            conn = _pooled_connection(
+                parts.scheme, parts.hostname or "", port, self.timeout
+            )
+            try:
+                conn.request("POST", reqpath, body=body, headers=headers)
+                resp = conn.getresponse()
+                data = resp.read()
+                if resp.will_close or not self.keep_alive:
+                    conn.close()
+                return resp.status, data
+            except (http.client.HTTPException, OSError):
+                conn.close()
+                if fresh:
+                    raise
+        raise AssertionError("unreachable")
 
     def _post(self, path: str, payload: dict) -> dict:
         url = self.base_url.rstrip("/") + path
@@ -115,34 +183,25 @@ class OpenAICompatClient:
             headers["Authorization"] = f"Bearer {key}"
         last_err: Exception | None = None
         for attempt in range(self.max_retries + 1):
-            req = urllib.request.Request(
-                url, data=body, headers=headers, method="POST"
-            )
             try:
-                with urllib.request.urlopen(req, timeout=self.timeout) as r:
-                    return json.loads(r.read().decode("utf-8"))
-            except urllib.error.HTTPError as e:
+                status, data = self._send_once(url, body, headers)
+            except (http.client.HTTPException, TimeoutError, OSError) as e:
                 last_err = e
-                if e.code not in _RETRYABLE:
+            else:
+                if status < 400:
+                    return json.loads(data.decode("utf-8"))
+                if status not in _RETRYABLE:
                     raise LLMGenerationError(
-                        f"{url} returned {e.code}: {e.read()[:500]!r}"
-                    ) from e
-                # drain + close the retryable error response NOW — holding
-                # its socket through the backoff sleep accumulates open
-                # connections under repeated 429s in a 10^5-task stage
-                try:
-                    e.read()
-                except OSError:
-                    pass
-                finally:
-                    e.close()
-            except (urllib.error.URLError, TimeoutError, OSError) as e:
-                last_err = e
+                        f"{url} returned {status}: {data[:500]!r}"
+                    )
+                last_err = LLMGenerationError(
+                    f"{url} returned {status}: {data[:500]!r}"
+                )
             if attempt < self.max_retries:
                 time.sleep(self.backoff * (2**attempt))
         raise LLMGenerationError(
             f"{url} failed after {self.max_retries + 1} attempts: {last_err}"
-        ) from last_err
+        ) from (last_err if not isinstance(last_err, LLMGenerationError) else None)
 
     # -- LLMInterface.invoke analog ---------------------------------------
 

@@ -370,3 +370,66 @@ def test_client_drives_spark_slots(spark, base_url) -> None:
     out = {r["text"]: r["embedding"] for r in
            embed_column(df, batch_fn=c.embed_batch, dim=4).collect()}
     assert out["a"][0] == 1.0 and out["bbb"][0] == 3.0
+
+
+class _KeepAliveFake(BaseHTTPRequestHandler):
+    """HTTP/1.1 fake with Content-Length — the shape real gateways speak.
+    Counts TCP connections (one handler instance per connection) so the
+    reuse test can assert sockets are NOT opened per request."""
+
+    protocol_version = "HTTP/1.1"
+    connections = 0
+    requests = 0
+
+    def setup(self):
+        _KeepAliveFake.connections += 1
+        super().setup()
+
+    def log_message(self, *a):
+        pass
+
+    def do_POST(self):
+        _KeepAliveFake.requests += 1
+        n = int(self.headers.get("Content-Length", 0))
+        payload = json.loads(self.rfile.read(n))
+        prompt = payload["messages"][-1]["content"]
+        body = json.dumps(
+            {"choices": [{"message": {"role": "assistant",
+                                      "content": f"ECHO:{prompt}"}}]}
+        ).encode()
+        self.send_response(200)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+
+def test_keep_alive_reuses_connections() -> None:
+    """A sequential run of N completes over one worker thread must ride
+    ONE pooled socket (keep-alive), and the measurement knob
+    keep_alive=False must reproduce socket-per-request.  Guards the
+    10^3-10^4-prompt mapInPandas stage from paying a TCP/TLS handshake
+    per prompt against a remote gateway."""
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), _KeepAliveFake)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_port}/v1"
+        _KeepAliveFake.connections = 0
+        c = OpenAICompatClient(base_url=url, max_concurrency=1)
+        assert c.complete_batch([f"p{i}" for i in range(20)]) == [
+            f"ECHO:p{i}" for i in range(20)
+        ]
+        reused = _KeepAliveFake.connections
+        assert reused <= 2, f"opened {reused} sockets for 20 requests"
+
+        _KeepAliveFake.connections = 0
+        c2 = OpenAICompatClient(
+            base_url=url, max_concurrency=1, keep_alive=False
+        )
+        c2.complete_batch([f"q{i}" for i in range(20)])
+        # ≥19: request 1 may ride the still-pooled socket left over from
+        # the keep-alive run (same thread, same (scheme,host,port) key)
+        assert _KeepAliveFake.connections >= 19
+    finally:
+        srv.shutdown()
