@@ -64,6 +64,25 @@ _RETRYABLE = {429, 500, 502, 503, 504}
 #: Thread-local ⇒ no locking and no cross-thread response interleaving.
 _CONN_POOL = threading.local()
 
+#: Process-wide batch executors keyed by max_concurrency — one pool of
+#: long-lived worker threads per (python worker × concurrency setting),
+#: so thread-local connections persist across Arrow batches.
+_EXECUTORS: dict[int, ThreadPoolExecutor] = {}
+_EXECUTORS_LOCK = threading.Lock()
+
+
+def _shared_executor(max_workers: int) -> ThreadPoolExecutor:
+    ex = _EXECUTORS.get(max_workers)
+    if ex is None:
+        with _EXECUTORS_LOCK:
+            ex = _EXECUTORS.get(max_workers)
+            if ex is None:
+                ex = _EXECUTORS[max_workers] = ThreadPoolExecutor(
+                    max_workers=max_workers,
+                    thread_name_prefix="llm-client",
+                )
+    return ex
+
 
 def _pooled_connection(
     scheme: str, host: str, port: int, timeout: float
@@ -269,8 +288,14 @@ class OpenAICompatClient:
         workers = max(1, min(self.max_concurrency, len(prompts)))
         if workers == 1:
             return [fn(p) for p in prompts]
-        with ThreadPoolExecutor(max_workers=workers) as pool:
-            return list(pool.map(fn, prompts))
+        # process-cached pool, NOT a fresh `with ThreadPoolExecutor(...)`
+        # per call: complete_batch runs once per Arrow batch, and tearing
+        # the pool down each time kills its threads — and with them every
+        # thread-local keep-alive socket, silently reverting to
+        # handshake-per-batch.  A long-lived pool makes connection reuse
+        # span the whole task (ThreadPoolExecutor's atexit hook still
+        # drains it at interpreter shutdown).
+        return list(_shared_executor(self.max_concurrency).map(fn, prompts))
 
     # -- LLMInterface.invoke_with_tools analog -----------------------------
 

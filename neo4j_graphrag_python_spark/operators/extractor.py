@@ -412,11 +412,19 @@ def extract_graph_rows(
         input_cols.append("boundary_ctx")
     src = chunks.select(*input_cols)
     # hash-repartition on chunk_uid: size-bounded partitions regardless of
-    # conv_id skew (north-rule requirement).
-    if num_partitions:
-        src = src.repartition(num_partitions, "chunk_uid")
-    else:
-        src = src.repartition("chunk_uid")
+    # conv_id skew (north-rule requirement).  The count is pinned
+    # EXPLICITLY: a bare repartition("chunk_uid") lets AQE coalesce by
+    # shuffle BYTES, and this stage is latency-bound model calls, not
+    # byte-bound — measured at sf0.1 with a 20 ms-latency gateway, AQE
+    # coalesced 38k chunks (a few MB) onto 4 of 32 workers and the
+    # extraction ran at 1/6th of the cluster's concurrency budget.
+    spark = chunks.sparkSession
+    if not num_partitions:
+        num_partitions = max(
+            spark.sparkContext.defaultParallelism,
+            int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
+        )
+    src = src.repartition(num_partitions, "chunk_uid")
     return src.mapInPandas(extract_batches, schema=GRAPH_ROWS_FIELDS)
 
 
@@ -529,8 +537,15 @@ def extract_from_documents(
         fuse_max_doc_chars = 256 * (size - overlap)
     is_whale = F.length(F.coalesce(F.col("text"), F.lit(""))) > fuse_max_doc_chars
     small = src.where(~is_whale)
-    if num_partitions:
-        small = small.repartition(num_partitions, "conv_id")
+    # pin the count (same AQE-coalesce trap as extract_graph_rows: model
+    # calls + per-chunk Python are core-seconds per MB, so partitioning
+    # by shuffle bytes starves the stage)
+    spark_ = documents.sparkSession
+    fuse_parts = num_partitions or max(
+        spark_.sparkContext.defaultParallelism,
+        int(spark_.conf.get("spark.sql.shuffle.partitions", "200")),
+    )
+    small = small.repartition(fuse_parts, "conv_id")
     fused = small.mapInPandas(fused_batches, schema=GRAPH_ROWS_FIELDS)
 
     whales = src.where(is_whale)
