@@ -186,3 +186,73 @@ def ensure_tables(sf: float, seed: int = SEED) -> str:
     ensure_documents(sf, seed)
     ensure_embeddings(sf, seed)
     return str(FIXTURE_ROOT / f"sf{sf:g}")
+
+
+_ENTITY_LABELS = ["Person", "Organization", "Location"]
+_ORG_SUFFIX = ["Corp", "Inc", "GmbH", "Ltd", "Group", "Labs"]
+
+
+def entity_names(
+    n: int = 100_000,
+    cluster_fraction: float = 0.05,
+    seed: int = SEED,
+) -> list[tuple[int, str, str, int]]:
+    """Deterministic high-cardinality entity inventory with planted
+    near-duplicate clusters — the fixture the fuzzy-resolution LSH
+    blocking is benched against (reference resolver.py:179-313 is
+    all-pairs O(n²) at exactly this n).
+
+    Returns ``(id, label, name, cluster_id)`` rows; ``cluster_id == -1``
+    marks singletons.  ~``cluster_fraction`` of rows belong to planted
+    clusters of 2-4 WRatio-near-duplicate variants of one base name
+    (case flips, punctuation, suffix swaps, one-character typos, doubled
+    whitespace — the edit classes real entity mentions exhibit), same
+    label by construction (the resolver only merges within a label).
+    Base names are drawn from the module's syllable vocabulary, so the
+    cross-name 3-gram noise floor matches the documents corpus rather
+    than colliding artificially.
+    """
+    rng = random.Random(seed * 7 + 13)
+
+    def base_name(label: str) -> str:
+        toks = [
+            rng.choice(_VOCAB).capitalize()
+            for _ in range(2 if label == "Person" else rng.choice([2, 3]))
+        ]
+        if label == "Organization":
+            toks.append(rng.choice(_ORG_SUFFIX))
+        return " ".join(toks)
+
+    def variant(name: str) -> str:
+        kind = rng.randrange(5)
+        if kind == 0:  # case flip
+            return name.upper() if rng.random() < 0.5 else name.lower()
+        if kind == 1:  # punctuation
+            return name.replace(" ", ", ", 1)
+        if kind == 2:  # suffix swap / strip (orgs) or initial (persons)
+            parts = name.split(" ")
+            if parts[-1] in _ORG_SUFFIX:
+                return " ".join(parts[:-1] + [rng.choice(_ORG_SUFFIX)])
+            return " ".join(parts[:-1] + [parts[-1][0] + "."])
+        if kind == 3:  # one-char typo (swap adjacent)
+            i = rng.randrange(1, len(name) - 1)
+            return name[: i - 1] + name[i] + name[i - 1] + name[i + 1:]
+        return name.replace(" ", "  ", 1)  # doubled whitespace
+
+    rows: list[tuple[int, str, str, int]] = []
+    cluster_id = 0
+    i = 0
+    while i < n:
+        label = _ENTITY_LABELS[i % 3]
+        name = base_name(label)
+        if rng.random() < cluster_fraction / 3.0 and i + 1 < n:
+            size = min(rng.choice([2, 3, 4]), n - i)
+            rows.append((i, label, name, cluster_id))
+            for j in range(1, size):
+                rows.append((i + j, label, variant(name), cluster_id))
+            i += size
+            cluster_id += 1
+        else:
+            rows.append((i, label, name, -1))
+            i += 1
+    return rows

@@ -379,8 +379,8 @@ def _lsh_candidates_raw(
 
 def candidate_pairs_lsh(
     texts: DataFrame,
-    num_hash_tables: int = 8,
-    jaccard_distance: float = 0.7,
+    num_hash_tables: int = 12,
+    jaccard_distance: float = 0.8,
 ) -> DataFrame:
     """Candidate blocking via MinHash-LSH over label-prefixed character
     3-grams (pyspark.ml) — the scale replacement for O(n²) combinations
@@ -389,7 +389,13 @@ def candidate_pairs_lsh(
 
     Returns (label, id_a, id_b, text_a, text_b) with id_a < id_b; recall is
     tuned by ``jaccard_distance`` (loose on purpose: the precise scorer
-    runs next).
+    runs next).  The (0.8, 12) defaults are set by measurement against
+    the sampled all-pairs WRatio oracle on a 10⁵-name inventory
+    (scripts/bench_fuzzy_scale.py): WRatio ≥ 0.8 pairs can sit at 3-gram
+    Jaccard 0.25-0.3 (token substitutions in short names), which the old
+    (0.7, 8) radius excluded — sampled recall 0.82; at (0.8, 12) it is
+    ≥0.97 for +29% wall.  The blocking radius must cover the scorer's
+    reach or the north-rule P/R target silently leaks here.
     """
     joined = _lsh_candidates_raw(texts, num_hash_tables, jaccard_distance)
     return (
@@ -522,7 +528,7 @@ def resolve_similarity(
     method: str = "fuzzy",
     resolve_properties: list[str] | None = None,
     similarity_threshold: float = 0.8,
-    lsh_jaccard_distance: float = 0.7,
+    lsh_jaccard_distance: float = 0.8,
     untouched_edge_types: tuple[str, ...] | None = None,
 ) -> tuple[DataFrame, DataFrame, ResolutionStats]:
     """Fuzzy / semantic resolution (resolver.py:179-313 pipeline shape)."""
