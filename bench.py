@@ -196,6 +196,7 @@ def main() -> None:
             # scale story measured, not just plan-shaped
             "dedup_minhash_pairs",
             "embedding_neardup_lsh",
+            "embedding_neardup_ivf",
             "doc_contamination",
         ):
             fn = em.queries()[name]

@@ -393,8 +393,8 @@ def candidate_pairs_lsh(
     the sampled all-pairs WRatio oracle on a 10⁵-name inventory
     (scripts/bench_fuzzy_scale.py): WRatio ≥ 0.8 pairs can sit at 3-gram
     Jaccard 0.25-0.3 (token substitutions in short names), which the old
-    (0.7, 8) radius excluded — sampled recall 0.82; at (0.8, 12) it is
-    ≥0.97 for +29% wall.  The blocking radius must cover the scorer's
+    (0.7, 8) radius excluded — sampled recall 0.82 at 10k names / 0.625 at 100k; at (0.8, 12)
+    it is ≥0.97 / 1.0 for +29-57% wall.  The blocking radius must cover the scorer's
     reach or the north-rule P/R target silently leaks here.
     """
     joined = _lsh_candidates_raw(texts, num_hash_tables, jaccard_distance)
