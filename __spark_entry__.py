@@ -1127,6 +1127,23 @@ def q_embedding_neardup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_neardup_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The threshold-aware near-dup dispatcher at the moderate threshold:
+    p_noise(0.4) ≈ 0.52 > 1% abandons sign-LSH, and at sf0.01's corpus
+    size (n·dim ≤ broadcast tier) it routes to the blocked-GEMM exact
+    path — whose output is BIT-IDENTICAL to the all-pairs oracle by
+    construction (the GEMM only prunes with a 1e-9 margin; survivors are
+    rescored by the canonical fold-order cosine).  The oracle is
+    therefore the exact all-pairs SQL with no fixture and no recall
+    caveat — the dispatcher's routing decision itself is under the hash
+    check (routing to LSH or IVF here would change the output set)."""
+    from neo4j_graphrag_python_spark.operators.dedup import embedding_neardup
+
+    emb = _read(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").head()["embedding"])
+    return embedding_neardup(emb, dim=dim, threshold=EIVF_THRESHOLD)
+
+
 def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowed rolling-hash fingerprints — hash-checked against
     FINGERPRINTS_FIXTURE (offline run of the identical scalar fn; pins
@@ -1239,6 +1256,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard_exact": q_dedup_jaccard_exact,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "embedding_neardup_ivf": q_embedding_neardup_ivf,
+        "embedding_neardup_auto": q_embedding_neardup_auto,
         "doc_fingerprints": q_doc_fingerprints,
         "doc_pii_scrub": q_doc_pii_scrub,
         "doc_contamination": q_doc_contamination,
@@ -1442,6 +1460,19 @@ SELECT id_a, id_b, cosine FROM read_parquet('{ELSH_FIXTURE}')
         # TRUE exact oracle (no fixture): the IVF blocking at (16, 8) is
         # lossless on this corpus, so DuckDB's all-pairs cosine IS the
         # expected output — the hash check asserts recall 1.0 each round
+        # blocked-GEMM exact via the dispatcher — bit-identical to
+        # all-pairs by construction (GEMM prunes, fold-order cosine rescores)
+        "embedding_neardup_auto": """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v))
+                * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.v, b.v)
+      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
+      >= 0.4
+""",
         "embedding_neardup_ivf": """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,

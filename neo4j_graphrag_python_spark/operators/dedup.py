@@ -645,6 +645,7 @@ def embedding_neardup_ivf(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     broadcast_rescore: bool = True,
+    rescore: str = "pairs",
 ) -> DataFrame:
     """Embedding near-dup via k-means IVF cell blocking + exact cosine
     rescore — the scale path for MODERATE thresholds, where sign-LSH
@@ -684,9 +685,22 @@ def embedding_neardup_ivf(
     60k×64 vectors with a 5·10⁷ candidate set, versus two 30 MB
     broadcasts and a fully streaming rescore with it.  The hint is
     right whenever the corpus's (id, vector) projection fits executor
-    memory (up to ~10⁷ vectors); beyond that set False — at that scale
-    the candidate set must be repartitioned by cell and rescored
-    per-cell anyway, and the sort-merge join is the correct shape.
+    memory (up to ~10⁷ vectors); beyond that use ``rescore="cells"``.
+
+    ``rescore="cells"`` is the beyond-broadcast-tier shape: instead of
+    materializing candidate PAIRS at all, vectors are shipped to their
+    primary cell (residents) and ``nprobe−1`` probe cells (visitors),
+    and each cell group runs a tiled numpy GEMM over its members —
+    resident×resident and visitor×resident scores (visitor×visitor
+    pairs are NOT candidates: such a pair qualifies only through one
+    member's primary cell, where it is scored) — thresholded with a
+    margin INSIDE the kernel.  Only survivors (output-sized) reach
+    a shuffle; they are deduped (a pair can surface in ≤2 cells) and
+    rescored with the canonical fold-order :func:`cosine_col`, so the
+    output is identical to the pairs path.  Shuffle volume is
+    nprobe·n vector rows (linear), never the candidate pair count;
+    per-task memory is the largest cell × dim, bounded by the tile
+    loop.  Same output, asserted by test.
     """
     from neo4j_graphrag_python_spark.operators.similarity import (
         _centroid_topn,
@@ -706,19 +720,22 @@ def embedding_neardup_ivf(
         F.col(id_col).alias("id"),
         _centroid_topn(v, centroids, nprobe).alias("probes"),
     )
-    prim = assigned.select("id", F.element_at("probes", 1).alias("cell"))
-    probe = assigned.select("id", F.explode("probes").alias("cell"))
-    cand = (
-        probe.withColumnRenamed("id", "id_p")
-        .join(prim.withColumnRenamed("id", "id_q"), "cell")
-        .where(F.col("id_p") != F.col("id_q"))
-        .select(
-            F.least("id_p", "id_q").alias("id_a"),
-            F.greatest("id_p", "id_q").alias("id_b"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
-    )
     base = embeddings.select(F.col(id_col).alias("id"), v.alias("v"))
+    if rescore == "cells":
+        cand = _ivf_cell_survivors(assigned, base, threshold)
+    else:
+        prim = assigned.select("id", F.element_at("probes", 1).alias("cell"))
+        probe = assigned.select("id", F.explode("probes").alias("cell"))
+        cand = (
+            probe.withColumnRenamed("id", "id_p")
+            .join(prim.withColumnRenamed("id", "id_q"), "cell")
+            .where(F.col("id_p") != F.col("id_q"))
+            .select(
+                F.least("id_p", "id_q").alias("id_a"),
+                F.greatest("id_p", "id_q").alias("id_b"),
+            )
+            .dropDuplicates(["id_a", "id_b"])
+        )
     va = base.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"))
     vb = base.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"))
     if broadcast_rescore:
@@ -730,6 +747,73 @@ def embedding_neardup_ivf(
             "id_a", "id_b", cosine_col(F.col("v_a"), F.col("v_b")).alias("cosine")
         )
         .where(F.col("cosine") >= threshold)
+    )
+
+
+def _ivf_cell_survivors(
+    assigned: DataFrame,
+    base: DataFrame,
+    threshold: float,
+    tile_rows: int = 4096,
+) -> DataFrame:
+    """Per-cell GEMM candidate survivors for ``rescore="cells"``.
+
+    One vector-carrying exchange (explode probes → repartition by cell:
+    nprobe·n rows, linear in the corpus), then ``applyInPandas`` per
+    cell: normalize members, tiled ``R @ M.T`` where R = resident rows
+    (primary == cell) and M = all members, keep scores ≥ threshold−1e-6,
+    drop visitor×visitor implicitly (rows of the GEMM are residents
+    only) and self/duplicate-orientation pairs by (id_a < id_b) OR
+    visitor×resident one-sidedness.  Emitted pairs are output-sized —
+    the candidate set never exists as rows anywhere."""
+    import numpy as np
+
+    member = (
+        assigned.select(
+            "id",
+            F.explode("probes").alias("cell"),
+            F.element_at("probes", 1).alias("prim"),
+        )
+        .join(base, "id")
+        .select("cell", "id", "v", (F.col("prim") == F.col("cell")).alias("resident"))
+    )
+    # margin must cover BOTH float fold-order drift AND cosine_col's
+    # round-to-6-decimals: a pair at raw cosine θ−4e-7 rounds UP to θ and
+    # passes the exact rescore, so the prune may not drop it (measured: a
+    # 1e-9 margin lost 5 boundary pairs of 370k at sf3)
+    thr = float(threshold) - 1e-6
+
+    def per_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["id"].to_numpy(dtype=np.int64)
+        res = pdf["resident"].to_numpy(dtype=bool)
+        mat = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+        nrm = np.linalg.norm(mat, axis=1, keepdims=True)
+        mat = mat / np.where(nrm == 0, 1.0, nrm)
+        r_idx = np.nonzero(res)[0]
+        out_a, out_b = [], []
+        for t0 in range(0, len(r_idx), tile_rows):
+            rows = r_idx[t0 : t0 + tile_rows]
+            scores = mat[rows] @ mat.T
+            ii, jj = np.nonzero(scores >= thr)
+            gi = rows[ii]
+            # resident×resident counted once (gi < jj); visitor rows
+            # (jj not resident) pair with every resident
+            keep = np.where(res[jj], gi < jj, True)
+            # a visitor×resident pair also excludes self-pairing (a
+            # vector is never its own visitor, so gi != jj holds there)
+            gi, gj = gi[keep], jj[keep]
+            out_a.append(np.minimum(ids[gi], ids[gj]))
+            out_b.append(np.maximum(ids[gi], ids[gj]))
+        if not out_a:
+            return pd.DataFrame({"id_a": [], "id_b": []}).astype("int64")
+        return pd.DataFrame(
+            {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)}
+        )
+
+    return (
+        member.groupBy("cell")
+        .applyInPandas(per_cell, "id_a long, id_b long")
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 
@@ -759,7 +843,7 @@ def embedding_neardup_blocked_exact(
     float64 — 30 MB at 60k×64); the work unit is a BLOCK PAIR (i ≤ j)
     of ``block_rows``-row tiles, distributed as a tiny DataFrame and
     expanded by ``mapInPandas`` running ``A @ B.T`` per tile pair.
-    The GEMM only PRUNES (threshold − 1e-9 margin); survivors are
+    The GEMM only PRUNES (threshold − 1e-6 margin); survivors are
     join-back rescored with the canonical fold-order
     :func:`cosine_col`, so the output is bit-identical to the
     all-pairs oracle — no float-reduction-order risk.  Ids are
@@ -802,7 +886,11 @@ def embedding_neardup_blocked_exact(
     tiles = spark.createDataFrame(tile_pairs, "bi int, bj int").repartition(
         min(len(tile_pairs), 4 * (spark.sparkContext.defaultParallelism or 8))
     )
-    thr = float(threshold) - 1e-9
+    # margin must cover BOTH float fold-order drift AND cosine_col's
+    # round-to-6-decimals: a pair at raw cosine θ−4e-7 rounds UP to θ and
+    # passes the exact rescore, so the prune may not drop it (measured: a
+    # 1e-9 margin lost 5 boundary pairs of 370k at sf3)
+    thr = float(threshold) - 1e-6
 
     def _gemm(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         bids, bmat = bc.value

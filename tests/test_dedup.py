@@ -460,6 +460,64 @@ def test_embedding_ivf_explode_is_vector_free(spark) -> None:
             assert "embedding" not in line and ", v" not in line, line
 
 
+def test_embedding_ivf_cell_rescore_equals_pairs_path(spark) -> None:
+    """rescore="cells" (per-cell GEMM, the beyond-broadcast-tier shape:
+    candidates never exist as rows) must produce EXACTLY the pairs
+    path's output — same candidate semantics (primary(b) ∈ probes(a) ∨
+    primary(a) ∈ probes(b)), same fold-order cosine on survivors."""
+    import random
+
+    from neo4j_graphrag_python_spark.operators.dedup import (
+        embedding_neardup_ivf,
+    )
+
+    for emb, thr, k, npb in [
+        (
+            spark.read.parquet(
+                "/root/testdata/sf0.001/embeddings.parquet"
+            ),
+            0.4,
+            8,
+            3,
+        ),
+        (
+            spark.createDataFrame(
+                [
+                    (
+                        i,
+                        [
+                            random.Random(i).gauss(0, 1)
+                            for _ in range(16)
+                        ],
+                    )
+                    for i in range(300)
+                ],
+                ["vec_id", "embedding"],
+            ),
+            0.5,
+            4,
+            2,
+        ),
+    ]:
+        pairs = {
+            tuple(r)
+            for r in embedding_neardup_ivf(
+                emb, threshold=thr, num_centroids=k, nprobe=npb
+            ).collect()
+        }
+        cells = {
+            tuple(r)
+            for r in embedding_neardup_ivf(
+                emb,
+                threshold=thr,
+                num_centroids=k,
+                nprobe=npb,
+                rescore="cells",
+            ).collect()
+        }
+        assert cells == pairs
+
+
 def test_embedding_neardup_dispatcher_routes_by_noise_collision(spark) -> None:
     """Moderate thresholds (LSH noise collision > 1%) abandon LSH:
     broadcast-tier corpora get the exact blocked-GEMM answer, larger
