@@ -1127,6 +1127,28 @@ def q_embedding_neardup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_minhash_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup ASSIGNMENT — the step real pipelines run after pair
+    discovery: connected components over the near-dup pairs (iterative
+    min-label propagation, operators/resolver.py connected_components),
+    each doc mapped to its component's min doc_id as keeper; docs in no
+    pair keep themselves.  Oracle: DuckDB recursive CTE computing the
+    same transitive closure over the value-pinned minhash-pair fixture —
+    an exact SQL oracle for an iterative Spark algorithm."""
+    from neo4j_graphrag_python_spark.operators.resolver import (
+        connected_components,
+    )
+
+    pairs = q_dedup_minhash_pairs(spark, sf_dir).select("id_a", "id_b")
+    comp = connected_components(pairs).withColumnsRenamed(
+        {"id": "doc_id", "canonical_id": "keeper_id"}
+    )
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    return docs.join(comp, "doc_id", "left").select(
+        "doc_id", F.coalesce("keeper_id", "doc_id").alias("keeper_id")
+    )
+
+
 def q_embedding_neardup_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The threshold-aware near-dup dispatcher at the moderate threshold:
     p_noise(0.4) ≈ 0.52 > 1% abandons sign-LSH, and at sf0.01's corpus
@@ -1257,6 +1279,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "embedding_neardup_ivf": q_embedding_neardup_ivf,
         "embedding_neardup_auto": q_embedding_neardup_auto,
+        "dedup_minhash_assign": q_dedup_minhash_assign,
         "doc_fingerprints": q_doc_fingerprints,
         "doc_pii_scrub": q_doc_pii_scrub,
         "doc_contamination": q_doc_contamination,
@@ -1460,6 +1483,27 @@ SELECT id_a, id_b, cosine FROM read_parquet('{ELSH_FIXTURE}')
         # TRUE exact oracle (no fixture): the IVF blocking at (16, 8) is
         # lossless on this corpus, so DuckDB's all-pairs cosine IS the
         # expected output — the hash check asserts recall 1.0 each round
+        # connected components as a recursive CTE: every node reaches
+        # every component member through the symmetric edge closure, so
+        # min(root) over reachable roots IS the component's min id;
+        # singletons keep themselves via the anti-joined union
+        "dedup_minhash_assign": f"""
+WITH RECURSIVE p AS (
+  SELECT id_a, id_b FROM read_parquet('{MINHASH_FIXTURE}')
+), e AS (
+  SELECT id_a AS a, id_b AS b FROM p
+  UNION ALL
+  SELECT id_b AS a, id_a AS b FROM p
+), reach(node, root) AS (
+  SELECT DISTINCT a, a FROM e
+  UNION
+  SELECT e.b, r.root FROM reach r JOIN e ON e.a = r.node
+), comp AS (
+  SELECT node AS doc_id, min(root) AS keeper_id FROM reach GROUP BY node
+)
+SELECT d.doc_id, coalesce(c.keeper_id, d.doc_id) AS keeper_id
+FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+""",
         # blocked-GEMM exact via the dispatcher — bit-identical to
         # all-pairs by construction (GEMM prunes, fold-order cosine rescores)
         "embedding_neardup_auto": """
