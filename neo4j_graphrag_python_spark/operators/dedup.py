@@ -710,10 +710,13 @@ def embedding_neardup_ivf(
     )
 
     if centroids is None:
+        sample = sample_vectors(embeddings, sample_n, id_col, vec_col)
+        if not sample:  # empty corpus → no pairs (don't fail the fit)
+            return embeddings.sparkSession.createDataFrame(
+                [], "id_a long, id_b long, cosine double"
+            )
         centroids = fit_kmeans_centroids(
-            sample_vectors(embeddings, sample_n, id_col, vec_col),
-            num_centroids=num_centroids,
-            seed=seed,
+            sample, num_centroids=num_centroids, seed=seed
         )
     v = F.col(vec_col).cast("array<double>")
     assigned = widen_for_compute(embeddings).select(

@@ -804,3 +804,24 @@ def test_minhash_null_text_equals_empty(spark) -> None:
     )
     sigs = {r["id"]: r["sig"] for r in minhash_signatures(df, num_hashes=8).collect()}
     assert sigs[1] == sigs[2]
+
+
+def test_embedding_neardup_paths_handle_empty_corpus(spark) -> None:
+    """Empty input → empty output for every near-dup path (the IVF fit
+    must not raise on an empty sample; a scheduled job over a partition
+    with no vectors is not an error)."""
+    from neo4j_graphrag_python_spark.operators.dedup import (
+        embedding_neardup,
+        embedding_neardup_blocked_exact,
+        embedding_neardup_ivf,
+    )
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert embedding_neardup_blocked_exact(empty, threshold=0.4).count() == 0
+    assert embedding_neardup_ivf(empty, threshold=0.4).count() == 0
+    assert (
+        embedding_neardup_ivf(empty, threshold=0.4, rescore="cells").count()
+        == 0
+    )
+    assert embedding_neardup(empty, dim=4, threshold=0.4).count() == 0
+    assert embedding_neardup(empty, dim=4, threshold=0.95).count() == 0
