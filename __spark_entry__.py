@@ -1127,6 +1127,21 @@ def q_embedding_neardup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KNN_K = 5
+
+
+def q_ann_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-NN JOIN (top-k cosine neighbors for EVERY vector —
+    the batch operator behind hard-negative mining / near-dup triage):
+    blocked-GEMM tile candidates (per-tile top-k union ⊇ global top-k,
+    1e-6 margin covers the 6-decimal rounding), canonical fold-order
+    cosine, deterministic (rounded desc, neighbor_id) ranking.  Oracle:
+    the windowed all-pairs SQL — exact, no fixture."""
+    from neo4j_graphrag_python_spark.operators.similarity import knn_join
+
+    return knn_join(_read(spark, sf_dir, "embeddings"), k=KNN_K)
+
+
 def q_dedup_minhash_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup ASSIGNMENT — the step real pipelines run after pair
     discovery: connected components over the near-dup pairs (iterative
@@ -1280,6 +1295,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup_ivf": q_embedding_neardup_ivf,
         "embedding_neardup_auto": q_embedding_neardup_auto,
         "dedup_minhash_assign": q_dedup_minhash_assign,
+        "ann_knn_join": q_ann_knn_join,
         "doc_fingerprints": q_doc_fingerprints,
         "doc_pii_scrub": q_doc_pii_scrub,
         "doc_contamination": q_doc_contamination,
@@ -1483,6 +1499,23 @@ SELECT id_a, id_b, cosine FROM read_parquet('{ELSH_FIXTURE}')
         # TRUE exact oracle (no fixture): the IVF blocking at (16, 8) is
         # lossless on this corpus, so DuckDB's all-pairs cosine IS the
         # expected output — the hash check asserts recall 1.0 each round
+        # exact windowed all-pairs k-NN (deterministic rounded ranking)
+        "ann_knn_join": f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+s AS (
+  SELECT a.vec_id AS id, b.vec_id AS neighbor_id,
+         round(list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v))
+                  * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+  FROM e a JOIN e b ON a.vec_id <> b.vec_id
+), r AS (
+  SELECT id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY id ORDER BY cosine DESC, neighbor_id)
+           AS rnk
+  FROM s
+)
+SELECT id, neighbor_id, cosine, rnk::INTEGER AS rnk FROM r WHERE rnk <= {KNN_K}
+""",
         # connected components as a recursive CTE: every node reaches
         # every component member through the symmetric edge closure, so
         # min(root) over reachable roots IS the component's min id;

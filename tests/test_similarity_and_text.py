@@ -560,3 +560,51 @@ def test_repetition_stats_top_ngram(spark) -> None:
     assert out[1]["top_ngram_frac"] == 0.5
     assert out[2]["top_ngram_count"] == 1
     assert out[3]["n_ngrams"] == 0 and out[3]["top_ngram_frac"] == 0.0
+
+
+def test_knn_join_matches_numpy_all_pairs(spark) -> None:
+    """knn_join (tiled GEMM candidates + windowed rounded ranking) must
+    equal the all-pairs numpy reference exactly — run with 64-row tiles
+    so multi-tile candidate merging is actually exercised."""
+    import numpy as np
+
+    from neo4j_graphrag_python_spark.operators.similarity import knn_join
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rows = emb.collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    mat = np.stack(
+        [np.array(r["embedding"], dtype=np.float64) for r in rows]
+    )
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    S = np.round(mat @ mat.T, 6)
+    np.fill_diagonal(S, -np.inf)
+    truth = {}
+    for i in range(len(ids)):
+        nb = sorted(range(len(ids)), key=lambda j: (-S[i, j], ids[j]))[:5]
+        truth[ids[i]] = [(ids[j], S[i, j], r + 1) for r, j in enumerate(nb)]
+
+    got = {}
+    for r in knn_join(emb, k=5, block_rows=64).collect():
+        got.setdefault(r["id"], []).append(
+            (r["neighbor_id"], r["cosine"], r["rnk"])
+        )
+    for i in got:
+        got[i].sort(key=lambda t: t[2])
+    assert set(got) == set(truth)
+    assert all(got[i] == truth[i] for i in truth)
+
+
+def test_knn_join_empty_and_tiny(spark) -> None:
+    """Empty corpus → empty result; corpus smaller than k returns the
+    neighbors that exist."""
+    from neo4j_graphrag_python_spark.operators.similarity import knn_join
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert knn_join(empty, k=5).count() == 0
+    tiny = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [1.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = knn_join(tiny, k=5).collect()
+    assert len(out) == 6  # each of 3 vectors has exactly 2 neighbors
