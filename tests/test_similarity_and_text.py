@@ -608,3 +608,56 @@ def test_knn_join_empty_and_tiny(spark) -> None:
     )
     out = knn_join(tiny, k=5).collect()
     assert len(out) == 6  # each of 3 vectors has exactly 2 neighbors
+
+
+def test_knn_join_ivf_recall_and_clustered(spark) -> None:
+    """IVF-celled k-NN join: on the sf0.001 vectors a generous probe
+    budget must recover ≥0.9 of the exact join's neighbor pairs; on
+    CLUSTERED data (its target regime) nprobe=2 must recover the
+    planted same-cluster neighbors."""
+    import random
+
+    from neo4j_graphrag_python_spark.operators.similarity import (
+        knn_join,
+        knn_join_ivf,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = {
+        (r["id"], r["neighbor_id"]) for r in knn_join(emb, k=5).collect()
+    }
+    approx = {
+        (r["id"], r["neighbor_id"])
+        for r in knn_join_ivf(
+            emb, k=5, num_centroids=8, nprobe=6
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"IVF knn recall {recall:.3f}"
+
+    rng = random.Random(5)
+    dim = 16
+    centers = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(6)]
+    rows = [
+        (i, [x + rng.gauss(0, 0.03) for x in centers[i % 6]])
+        for i in range(360)
+    ]
+    cl = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = {
+        (r["id"], r["neighbor_id"])
+        for r in knn_join_ivf(
+            cl, k=3, num_centroids=6, nprobe=2
+        ).collect()
+    }
+    ex = {
+        (r["id"], r["neighbor_id"]) for r in knn_join(cl, k=3).collect()
+    }
+    rec = len(ex & got) / len(ex)
+    assert rec >= 0.95, f"clustered IVF knn recall {rec:.3f}"
+
+
+def test_knn_join_ivf_empty(spark) -> None:
+    from neo4j_graphrag_python_spark.operators.similarity import knn_join_ivf
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert knn_join_ivf(empty, k=3).count() == 0
