@@ -661,3 +661,39 @@ def test_knn_join_ivf_empty(spark) -> None:
 
     empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
     assert knn_join_ivf(empty, k=3).count() == 0
+
+
+def test_knn_join_tie_plateaus_with_duplicate_vectors(spark) -> None:
+    """Duplicate vectors create rounded-cosine tie plateaus WIDER than k
+    at the kth boundary — exactly where the kernel's tile-local margin
+    could drop a tying candidate.  The windowed (rounded desc,
+    neighbor_id) ranking must stay bit-equal to the numpy reference."""
+    import numpy as np
+
+    from neo4j_graphrag_python_spark.operators.similarity import knn_join
+
+    # 12 copies of each of 3 distinct directions (plateaus of width 11
+    # at every rank), plus two loners
+    base = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.6, 0.8, 0.0]]
+    rows = [(i, base[i % 3]) for i in range(36)]
+    rows += [(100, [0.0, 0.0, 1.0]), (101, [0.0, 0.0, -1.0])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    ids = np.array([r[0] for r in rows])
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    S = np.round(mat @ mat.T, 6)
+    np.fill_diagonal(S, -np.inf)
+    truth = {}
+    for i in range(len(ids)):
+        nb = sorted(range(len(ids)), key=lambda j: (-S[i, j], ids[j]))[:4]
+        truth[ids[i]] = [(ids[j], S[i, j], r + 1) for r, j in enumerate(nb)]
+
+    got = {}
+    for r in knn_join(emb, k=4, block_rows=7).collect():
+        got.setdefault(r["id"], []).append(
+            (r["neighbor_id"], r["cosine"], r["rnk"])
+        )
+    for i in got:
+        got[i].sort(key=lambda t: t[2])
+    assert got == truth
