@@ -980,6 +980,10 @@ def embedding_neardup(
                 **kwargs,
             )
         kwargs.pop("block_rows", None)
+        # beyond the broadcast tier the rescore sides can't broadcast by
+        # definition — per-cell GEMM is the only coherent rescore there
+        kwargs.setdefault("rescore", "cells")
+        kwargs.pop("broadcast_rescore", None)
         return embedding_neardup_ivf(
             embeddings,
             threshold=threshold,
