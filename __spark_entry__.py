@@ -1223,6 +1223,19 @@ def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_stats(_read(spark, sf_dir, "documents"), n=2)
 
 
+def q_doc_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level exact-substring duplication (Lee et al. 2021): per doc,
+    how many of its 8-token windows occur at more than one (doc,
+    position) corpus-wide.  Spark dedups by xxhash64 of the span (only
+    8-byte longs ever shuffle); the oracle groups by the span STRING —
+    equality of the two is also the collision check at this scale."""
+    from neo4j_graphrag_python_spark.operators.text_analysis import (
+        dup_span_stats,
+    )
+
+    return dup_span_stats(_read(spark, sf_dir, "documents"), window=8)
+
+
 def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH/IVF-bucketed approximate top-k — approximate vs BRUTE FORCE
     (recall asserted in tests) but deterministic given the seed, so it is
@@ -1300,6 +1313,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pii_scrub": q_doc_pii_scrub,
         "doc_contamination": q_doc_contamination,
         "doc_repetition": q_doc_repetition,
+        "doc_dup_spans": q_doc_dup_spans,
         "ann_topk_ivf": q_ann_topk_ivf,
         "ann_topk_kmeans": q_ann_topk_kmeans,
     }
@@ -1619,6 +1633,35 @@ SELECT base.id,
                   THEN coalesce(m.top, 0) / CAST(base.n_ngrams AS DOUBLE)
                   ELSE 0.0 END, 6) AS top_ngram_frac
 FROM base LEFT JOIN m ON base.id = m.id
+""",
+        "doc_dup_spans": r"""
+WITH t AS (
+  SELECT doc_id AS id,
+         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS toks
+  FROM documents
+),
+base AS (
+  SELECT id,
+         [array_to_string(toks[i:i+7], ' ')
+          for i in range(1, greatest(len(toks) - 6, 1))] AS spans,
+         greatest(len(toks) - 7, 0) AS n_windows
+  FROM t
+),
+w AS (SELECT id, unnest(spans) AS span FROM base),
+c AS (SELECT span, count(*) AS c FROM w GROUP BY 1),
+d AS (
+  SELECT w.id,
+         sum(CASE WHEN c.c > 1 THEN 1 ELSE 0 END) AS nd
+  FROM w JOIN c USING (span) GROUP BY w.id
+)
+SELECT base.id,
+       CAST(base.n_windows AS BIGINT) AS n_windows,
+       CAST(coalesce(d.nd, 0) AS BIGINT) AS n_dup_windows,
+       round(CASE WHEN base.n_windows > 0
+                  THEN coalesce(d.nd, 0) / CAST(base.n_windows AS DOUBLE)
+                  ELSE 0.0 END, 6) AS dup_frac
+FROM base LEFT JOIN d ON base.id = d.id
 """,
         "dedup_exact_docs": """
 SELECT md5(text) AS text_hash, count(*) AS n_dups, min(doc_id) AS keeper_doc_id

@@ -562,6 +562,66 @@ def test_repetition_stats_top_ngram(spark) -> None:
     assert out[3]["n_ngrams"] == 0 and out[3]["top_ngram_frac"] == 0.0
 
 
+def test_dup_span_stats_planted(spark) -> None:
+    from neo4j_graphrag_python_spark.operators.text_analysis import (
+        dup_span_stats,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "x y z q r"),  # shares "x y z" and "y z q" with doc 2
+            (2, "p p x y z q w"),
+            (3, "x y"),  # shorter than the window
+            (4, "m m m m"),  # same-doc repeat: "m m m" twice
+            (5, "X Y Z"),  # case-normalized match with docs 1/2
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["id"]: r for r in dup_span_stats(df, window=3).collect()}
+    assert out[1]["n_windows"] == 3 and out[1]["n_dup_windows"] == 2
+    assert out[1]["dup_frac"] == round(2 / 3, 6)
+    assert out[2]["n_windows"] == 5 and out[2]["n_dup_windows"] == 2
+    assert out[3]["n_windows"] == 0 and out[3]["dup_frac"] == 0.0
+    assert out[4]["n_windows"] == 2 and out[4]["n_dup_windows"] == 2
+    assert out[4]["dup_frac"] == 1.0
+    assert out[5]["n_windows"] == 1 and out[5]["n_dup_windows"] == 1
+
+
+def test_dup_span_stats_matches_bruteforce(spark) -> None:
+    """Randomized cross-check vs a pure-Python all-position count."""
+    import random as _random
+    from collections import Counter
+
+    from neo4j_graphrag_python_spark.operators.text_analysis import (
+        dup_span_stats,
+    )
+
+    rng = _random.Random(7)
+    vocab = ["aa", "bb", "cc", "dd"]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 12))))
+        for i in range(40)
+    ]
+    w = 4
+    spans = {
+        i: [
+            " ".join(t.lower().split()[j : j + w])
+            for j in range(max(len(t.split()) - w + 1, 0))
+        ]
+        for i, t in rows
+    }
+    counts = Counter(s for ss in spans.values() for s in ss)
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["id"]: r for r in dup_span_stats(df, window=w).collect()}
+    assert set(out) == set(spans)
+    for i, ss in spans.items():
+        dup = sum(1 for s in ss if counts[s] > 1)
+        assert out[i]["n_windows"] == len(ss)
+        assert out[i]["n_dup_windows"] == dup
+        expect = round(dup / len(ss), 6) if ss else 0.0
+        assert out[i]["dup_frac"] == expect
+
+
 def test_knn_join_matches_numpy_all_pairs(spark) -> None:
     """knn_join (tiled GEMM candidates + windowed rounded ranking) must
     equal the all-pairs numpy reference exactly — run with 64-row tiles
