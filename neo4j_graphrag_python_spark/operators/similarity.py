@@ -694,3 +694,217 @@ def knn_join_ivf(
         .where(F.col("rnk") <= k)
         .select("id", "neighbor_id", "cosine", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# product quantization (PQ) — the memory-compression rung of the ANN ladder
+# ---------------------------------------------------------------------------
+
+
+def fit_pq_codebooks(
+    sample: list[list[float]],
+    m: int = 8,
+    num_centroids: int = 16,
+    iters: int = 15,
+    seed: int = 42,
+) -> list[list[list[float]]]:
+    """Per-subspace k-means codebooks for product quantization (Jégou,
+    Douze, Schmid 2011, "Product Quantization for Nearest Neighbor
+    Search").  Vectors are unit-normalized, split into ``m`` contiguous
+    subspaces, and each subspace gets its own ``num_centroids``-word
+    codebook — a vector is then representable by m small codes
+    (m log₂k bits, e.g. 8 bytes for m=8/k=256) instead of dim floats.
+    That compression is the whole point at 100 TB: the ANN scan reads
+    codes, not vectors.
+
+    Fitting mirrors :func:`fit_kmeans_centroids`'s determinism contract:
+    seeded ``random.Random(seed + s)`` init per subspace, fixed iteration
+    count, first-wins argmax assignment, empty cells keep their previous
+    centroid.  The assignment criterion is ``argmax(dot(x_sub, c) −
+    ½·|c|²)`` — algebraically argmin L2 — the SAME adjusted-dot form the
+    Spark-side :func:`assign_pq_codes` evaluates, so fit and assignment
+    share one tie rule.  numpy-vectorized; driver-side on a bounded
+    sample (the FAISS-style train-on-subsample posture of
+    :func:`sample_vectors`).
+    """
+    import random
+
+    import numpy as np
+
+    if not sample:
+        raise ValueError("cannot fit PQ codebooks on an empty sample")
+    dim = len(sample[0])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+
+    pts = np.asarray(sample, dtype=np.float64)
+    nrm = np.linalg.norm(pts, axis=1, keepdims=True)
+    pts = np.where(nrm > 0, pts / np.where(nrm == 0, 1.0, nrm), pts)
+
+    books: list[list[list[float]]] = []
+    for s in range(m):
+        block = pts[:, s * sub : (s + 1) * sub]
+        k = min(num_centroids, len(block))
+        rng = random.Random(seed + s)
+        cents = block[rng.sample(range(len(block)), k)].copy()
+        for _ in range(iters):
+            adj = block @ cents.T - 0.5 * np.sum(cents * cents, axis=1)
+            assign = np.argmax(adj, axis=1)
+            counts = np.bincount(assign, minlength=k).astype(np.float64)
+            sums = np.zeros_like(cents)
+            np.add.at(sums, assign, block)
+            nonempty = counts > 0
+            cents[nonempty] = sums[nonempty] / counts[nonempty, None]
+        books.append([[float(x) for x in c] for c in cents])
+    return books
+
+
+def _unit_norm_col(vec: Column) -> Column:
+    """Unit-normalize an array<double> column (zero vectors pass through)."""
+    n = F.sqrt(F.aggregate(vec, F.lit(0.0), lambda s, x: s + x * x))
+    return F.when(n > 0, F.transform(vec, lambda x: x / n)).otherwise(vec)
+
+
+def _codebook_literal(book: list[list[float]]) -> Column:
+    """One codebook as ONE SQL array literal (the %.17e py4j lesson)."""
+    rows = ",".join(
+        "array(" + ",".join(f"{float(x):.17e}" for x in c) + ")" for c in book
+    )
+    return F.expr(f"array({rows})")
+
+
+def assign_pq_codes(
+    embeddings: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Quantize every vector → (id, codes array<int>, one code per
+    subspace).  One codegen'd projection over the corpus — the codebooks
+    ride array literals, the per-subspace code is first-wins
+    ``array_position(max)`` over the adjusted dots (the fitter's exact
+    criterion), and nothing shuffles.  Store the result columnar and the
+    ADC scan needs ~m·4 bytes per vector instead of dim·4."""
+    from neo4j_graphrag_python_spark.operators.dedup import widen_for_compute
+
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    vn = _unit_norm_col(F.col(vec_col).cast("array<double>"))
+
+    def code_for(s: int, v: Column) -> Column:
+        mat = _codebook_literal(codebooks[s])
+        half = F.expr(
+            "array("
+            + ",".join(
+                f"{0.5 * sum(float(x) * float(x) for x in c):.17e}"
+                for c in codebooks[s]
+            )
+            + ")"
+        )
+        block = F.slice(v, s * sub + 1, sub)
+        dots = F.transform(
+            mat,
+            lambda c: F.aggregate(
+                F.zip_with(block, c, lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+        adj = F.zip_with(dots, half, lambda d, h: d - h)
+        return (F.array_position(adj, F.array_max(adj)) - 1).cast("int")
+
+    return widen_for_compute(embeddings).select(
+        F.col(id_col).alias("id"),
+        F.array(*[code_for(s, vn) for s in range(m)]).alias("codes"),
+    )
+
+
+def build_pq_index(
+    embeddings: DataFrame,
+    m: int = 8,
+    num_centroids: int = 16,
+    sample_n: int = 2048,
+    seed: int = 42,
+    codebooks: list[list[list[float]]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Fit (or accept) PQ codebooks and quantize the corpus.
+    Returns (codes_df(id, codes), codebooks)."""
+    if codebooks is None:
+        codebooks = fit_pq_codebooks(
+            sample_vectors(embeddings, sample_n, id_col, vec_col),
+            m=m,
+            num_centroids=num_centroids,
+            seed=seed,
+        )
+    return assign_pq_codes(embeddings, codebooks, id_col, vec_col), codebooks
+
+
+def topk_pq(
+    codes: DataFrame,
+    embeddings: DataFrame,
+    codebooks: list[list[list[float]]],
+    query_vector: Sequence[float],
+    k: int = 10,
+    rescore: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance top-k: score every vector from its codes via
+    a driver-computed lookup table (ADC — the query stays full-precision,
+    the corpus is codes), keep the best ``rescore`` candidates, then
+    exact-rescore those few against their full vectors → (id, score).
+
+    Plan shape: the ADC scan touches ONLY (id, codes) — with a parquet-
+    backed code table that is ~m·4 bytes/row against dim·4 for the raw
+    vectors, the 100 TB win.  The estimate is one codegen'd fold over the
+    LUT literal; the global top-``rescore`` is TakeOrderedAndProject (no
+    full sort).  The candidate ids (bounded by ``rescore``) are collected
+    and pushed into the vector scan as an In filter — row-group pruning
+    does the rest; only ``rescore`` full vectors are ever read and scored
+    with fold-order :func:`cosine_col`, so the FINAL values are
+    bit-identical to brute force whenever the true top-k survives the
+    candidate cut (recall is a measured property, tested on planted and
+    sf corpora)."""
+    m = len(codebooks)
+    q = [float(x) for x in query_vector]
+    qn = sum(x * x for x in q) ** 0.5 or 1.0
+    qu = [x / qn for x in q]
+    sub = len(codebooks[0][0])
+    lut = [
+        [
+            sum(qu[s * sub + d] * c[d] for d in range(sub))
+            for c in codebooks[s]
+        ]
+        for s in range(m)
+    ]
+    lut_lit = F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(f"{x:.17e}" for x in row) + ")" for row in lut
+        )
+        + ")"
+    )
+    est = F.aggregate(
+        F.zip_with(
+            lut_lit,
+            F.col("codes"),
+            lambda row, c: F.element_at(row, c + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cand = (
+        codes.select("id", est.alias("est"))
+        .orderBy(F.desc("est"), "id")
+        .limit(rescore)
+    )
+    ids = [r["id"] for r in cand.select("id").collect()]
+    qcol = F.array(*[F.lit(x) for x in q])
+    exact = embeddings.where(F.col(id_col).isin(ids)).select(
+        F.col(id_col).alias("id"),
+        cosine_col(F.col(vec_col).cast("array<double>"), qcol).alias("score"),
+    )
+    return exact.orderBy(F.desc("score"), "id").limit(k)

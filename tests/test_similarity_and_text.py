@@ -757,3 +757,139 @@ def test_knn_join_tie_plateaus_with_duplicate_vectors(spark) -> None:
     for i in got:
         got[i].sort(key=lambda t: t[2])
     assert got == truth
+
+
+def test_pq_fit_is_deterministic_and_shaped() -> None:
+    import random as _r
+
+    from neo4j_graphrag_python_spark.operators.similarity import (
+        fit_pq_codebooks,
+    )
+
+    rng = _r.Random(3)
+    sample = [[rng.gauss(0, 1) for _ in range(16)] for _ in range(120)]
+    a = fit_pq_codebooks(sample, m=4, num_centroids=8)
+    b = fit_pq_codebooks(sample, m=4, num_centroids=8)
+    assert a == b  # bit-stable: seeded init, fixed iters
+    assert len(a) == 4 and all(len(book) == 8 for book in a)
+    assert all(len(c) == 4 for book in a for c in book)
+    with pytest.raises(ValueError):
+        fit_pq_codebooks(sample, m=5)
+
+
+def test_pq_codes_match_fold_order_replication(spark) -> None:
+    import random as _r
+
+    from neo4j_graphrag_python_spark.operators.similarity import (
+        assign_pq_codes,
+        fit_pq_codebooks,
+    )
+
+    rng = _r.Random(11)
+    vecs = {i: [rng.gauss(0, 1) for _ in range(16)] for i in range(60)}
+    books = fit_pq_codebooks(list(vecs.values()), m=4, num_centroids=6)
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], ["vec_id", "embedding"]
+    )
+    got = {
+        r["id"]: list(r["codes"]) for r in assign_pq_codes(df, books).collect()
+    }
+
+    def replicate(v):
+        n = 0.0
+        for x in v:
+            n += x * x
+        n = n**0.5
+        vn = [x / n for x in v] if n > 0 else list(v)
+        out = []
+        for s, book in enumerate(books):
+            sub = len(book[0])
+            block = vn[s * sub : (s + 1) * sub]
+            best, best_adj = 0, None
+            for j, c in enumerate(book):
+                d = 0.0
+                for x, y in zip(block, c):
+                    d += x * y
+                adj = d - 0.5 * sum(float(y) * float(y) for y in c)
+                if best_adj is None or adj > best_adj:
+                    best, best_adj = j, adj
+            out.append(best)
+        return out
+
+    assert got == {i: replicate(v) for i, v in vecs.items()}
+
+
+def test_pq_code_tie_is_first_wins(spark) -> None:
+    from neo4j_graphrag_python_spark.operators.similarity import (
+        assign_pq_codes,
+    )
+
+    # duplicate centroids → exact tie → array_position picks the FIRST
+    books = [[[1.0, 0.0], [1.0, 0.0], [0.0, 1.0]]]
+    df = spark.createDataFrame([(1, [1.0, 0.0])], ["vec_id", "embedding"])
+    assert assign_pq_codes(df, books).collect()[0]["codes"] == [0]
+
+
+def test_pq_topk_lossless_at_rescore_on_clustered(spark) -> None:
+    """With a healthy rescore budget the exact top-k must survive the ADC
+    cut on a clustered corpus — the property the contract oracle uses."""
+    import random as _r
+
+    from neo4j_graphrag_python_spark.operators.similarity import (
+        build_pq_index,
+        topk_bruteforce,
+        topk_pq,
+    )
+
+    rng = _r.Random(5)
+    centers = [[rng.gauss(0, 1) for _ in range(16)] for _ in range(4)]
+    rows = []
+    for i in range(300):
+        c = centers[i % 4]
+        rows.append((i, [x + rng.gauss(0, 0.3) for x in c]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = rows[0][1]
+    codes, books = build_pq_index(df, m=4, num_centroids=16, sample_n=300)
+    body = df.where(F.col("vec_id") != 0)
+    pq = topk_pq(
+        codes.where(F.col("id") != 0), body, books, q, k=10, rescore=50
+    )
+    brute = topk_bruteforce(body, q, k=10)
+    assert pq.collect() == brute.collect()
+
+
+def test_pq_topk_rescore_smaller_than_k(spark) -> None:
+    from neo4j_graphrag_python_spark.operators.similarity import (
+        build_pq_index,
+        topk_pq,
+    )
+
+    df = spark.createDataFrame(
+        [(i, [float(i % 3), 1.0]) for i in range(8)],
+        ["vec_id", "embedding"],
+    )
+    codes, books = build_pq_index(df, m=1, num_centroids=4, sample_n=8)
+    out = topk_pq(codes, df, books, [1.0, 1.0], k=10, rescore=3).collect()
+    assert len(out) == 3
+
+
+def test_pq_rescore_pushes_in_filter_to_scan(spark, tmp_path) -> None:
+    """The rescore reads only the candidate ids: the In filter must reach
+    the parquet scan (row-group pruning), not sit above a full read."""
+    from neo4j_graphrag_python_spark.operators.similarity import (
+        build_pq_index,
+        topk_pq,
+    )
+
+    df = spark.createDataFrame(
+        [(i, [float((i * 7 + j) % 5) for j in range(8)]) for i in range(64)],
+        ["vec_id", "embedding"],
+    )
+    p = str(tmp_path / "emb.parquet")
+    df.write.parquet(p)
+    emb = spark.read.parquet(p)
+    codes, books = build_pq_index(emb, m=2, num_centroids=4, sample_n=64)
+    out = topk_pq(codes, emb, books, [1.0] * 8, k=5, rescore=12)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "In(vec_id, [" in plan, plan
+    assert len(out.collect()) == 5
