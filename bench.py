@@ -198,6 +198,9 @@ def main() -> None:
             "embedding_neardup_lsh",
             "embedding_neardup_ivf",
             "doc_contamination",
+            # round-5 additions: span-level substring dedup + PQ ANN
+            "doc_dup_spans",
+            "ann_topk_pq",
         ):
             fn = em.queries()[name]
             timed(name, lambda fn=fn: fn(spark, sf_dir).count())

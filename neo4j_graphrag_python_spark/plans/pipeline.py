@@ -17,6 +17,7 @@ once even though two outputs consume it).
 from __future__ import annotations
 
 from dataclasses import dataclass, field
+from pathlib import Path
 
 from pyspark.sql import DataFrame, functions as F
 
@@ -68,8 +69,12 @@ def run_kg_pipeline(
     (simple_kg_builder.py:73-82: loader → splitter → chunk_embedder →
     schema → extractor → pruner → writer → resolver).
     """
+    import time
+
     cfg = config or PipelineConfig()
     ckpt = cfg.checkpoint_dir
+    walls: dict[str, float] = {}
+    t_start = time.monotonic()
 
     documents = assemble_documents(transcripts)
     chunks = None
@@ -106,6 +111,10 @@ def run_kg_pipeline(
             emit_chunk_rows=need_chunks,
         )
     graph_rows = checkpoint_stage(graph_rows, ckpt, "graph_rows")
+    # checkpoint_stage is the eager boundary, so this wall covers
+    # everything up to and including extraction (split included on the
+    # fused path)
+    walls["extract_s"] = round(time.monotonic() - t_start, 3)
     if not ckpt and need_chunks:
         # persist the typed projection: the lexical builder reads chunks
         # three times (nodes, FROM_DOCUMENT, NEXT_CHUNK window) and
@@ -153,10 +162,19 @@ def run_kg_pipeline(
     if cfg.perform_entity_resolution:
         nodes = checkpoint_stage(nodes, ckpt, "nodes_pre_resolve")
         edges = checkpoint_stage(edges, ckpt, "edges_pre_resolve")
+        walls["prune_s"] = round(
+            time.monotonic() - t_start - walls["extract_s"], 3
+        )
         nodes, edges, stats = resolve_exact(
             nodes, edges, cfg.resolve_property,
             untouched_edge_types=structural,
         )
+
+    metrics: dict = {}
+    if cfg.collect_metrics:
+        metrics = _collect_metrics(graph_rows, chunks, walls, stats)
+        if ckpt:
+            write_metrics_log(metrics, ckpt, transcripts.sparkSession)
 
     return KGResult(
         nodes=nodes,
@@ -165,6 +183,56 @@ def run_kg_pipeline(
         pruned_nodes=pruned_nodes,
         pruned_edges=pruned_edges,
         resolution_stats=stats,
+        metrics=metrics,
+    )
+
+
+def _collect_metrics(
+    graph_rows: DataFrame,
+    chunks: DataFrame | None,
+    walls: dict[str, float],
+    stats: ResolutionStats | None,
+) -> dict:
+    """Run-health metrics from already-materialized stage frames.
+
+    Both aggregations scan the eager checkpoint/persist of their stage
+    (no recompute): the status breakdown is one map-side-combinable
+    groupBy over graph_rows, the chunk count a cached count.  Combined
+    with the per-chunk (conv_id, chunk_uid, status) lineage columns the
+    extractor emits (north-rule metrics surface: what failed, where, and
+    how long each eager stage took)."""
+    by_status = {
+        r["status"]: r["n"]
+        for r in graph_rows.groupBy("status")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    n_errors = sum(n for s, n in by_status.items() if s != "ok")
+    metrics: dict = dict(walls)
+    metrics["rows_ok"] = int(by_status.get("ok", 0))
+    metrics["rows_error"] = int(n_errors)
+    if chunks is not None:
+        metrics["n_chunks"] = int(chunks.count())
+    if stats is not None:
+        metrics["nodes_to_resolve"] = int(stats.number_of_nodes_to_resolve)
+        if stats.number_of_created_nodes is not None:
+            metrics["nodes_created"] = int(stats.number_of_created_nodes)
+    return metrics
+
+
+def write_metrics_log(metrics: dict, checkpoint_dir: str, spark) -> None:
+    """Append this run's metrics to ``<checkpoint_dir>/metrics_log`` as
+    long-format parquet rows (run_ts, metric, value) — a resumed run
+    appends a second batch, so the log doubles as an attempt history for
+    monitoring jobs (read it with plain ``spark.read.parquet``)."""
+    import time
+
+    ts = float(time.time())
+    rows = [(ts, k, float(v)) for k, v in sorted(metrics.items())]
+    spark.createDataFrame(
+        rows, "run_ts double, metric string, value double"
+    ).coalesce(1).write.mode("append").parquet(
+        str(Path(checkpoint_dir) / "metrics_log")
     )
 
 

@@ -172,3 +172,7 @@ class PipelineConfig:
     # staged one (salted per-chunk model calls) — whale-conversation skew
     fuse_max_doc_chars: int | None = None  # default: 256 chunk-steps
     checkpoint_dir: str | None = None  # per-stage parquet checkpoints + resume
+    # populate KGResult.metrics (stage walls, chunk/error counts) and, with
+    # a checkpoint_dir, append them to <ckpt>/metrics_log for monitoring;
+    # costs two small aggregations over already-cached stage frames
+    collect_metrics: bool = False

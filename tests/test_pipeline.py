@@ -238,3 +238,40 @@ def test_pipeline_killed_mid_run_resumes_byte_identical(
         "completed buckets must not be rewritten on resume"
     )
     assert _node_rows(read_resumable(spark, str(out))) == expected_rows
+
+
+def test_metrics_collection_and_log(spark, transcripts_df, tmp_path) -> None:
+    """collect_metrics populates stage walls + status/chunk counts and
+    appends a (run_ts, metric, value) batch to <ckpt>/metrics_log per
+    attempt — the resumed run adds a second batch (attempt history)."""
+    ckpt = str(tmp_path / "ckpt")
+    cfg = PipelineConfig(
+        splitter=SplitterConfig(chunk_size=600, chunk_overlap=200),
+        checkpoint_dir=ckpt,
+        collect_metrics=True,
+    )
+    r1 = run_kg_pipeline(
+        transcripts_df, regex_extractor(demo_rules()), demo_schema(), cfg
+    )
+    m = r1.metrics
+    assert m["extract_s"] > 0 and "prune_s" in m
+    assert m["rows_ok"] > 0 and m["rows_error"] == 0
+    assert m["n_chunks"] > 0
+    assert m["nodes_to_resolve"] > m["nodes_created"] > 0
+    log = spark.read.parquet(str(Path(ckpt) / "metrics_log"))
+    assert log.columns == ["run_ts", "metric", "value"]
+    assert log.count() == len(m)
+    # resume appends a second attempt's batch
+    r2 = run_kg_pipeline(
+        transcripts_df, regex_extractor(demo_rules()), demo_schema(), cfg
+    )
+    log2 = spark.read.parquet(str(Path(ckpt) / "metrics_log"))
+    assert log2.count() == len(m) + len(r2.metrics)
+    assert log2.select("run_ts").distinct().count() == 2
+    # same counts both attempts (idempotent resume), only walls differ
+    for key in ("rows_ok", "n_chunks", "nodes_created"):
+        assert r2.metrics[key] == m[key]
+
+
+def test_metrics_off_by_default(kg) -> None:
+    assert kg.metrics == {}
