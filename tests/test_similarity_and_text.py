@@ -792,7 +792,8 @@ def test_pq_codes_match_fold_order_replication(spark) -> None:
         [(i, v) for i, v in vecs.items()], ["vec_id", "embedding"]
     )
     got = {
-        r["id"]: list(r["codes"]) for r in assign_pq_codes(df, books).collect()
+        r["id"]: list(r["codes"])
+        for r in assign_pq_codes(df, books, engine="sql").collect()
     }
 
     def replicate(v):
@@ -824,10 +825,12 @@ def test_pq_code_tie_is_first_wins(spark) -> None:
         assign_pq_codes,
     )
 
-    # duplicate centroids → exact tie → array_position picks the FIRST
+    # duplicate centroids → exact tie → both engines pick the FIRST
     books = [[[1.0, 0.0], [1.0, 0.0], [0.0, 1.0]]]
     df = spark.createDataFrame([(1, [1.0, 0.0])], ["vec_id", "embedding"])
-    assert assign_pq_codes(df, books).collect()[0]["codes"] == [0]
+    for engine in ("sql", "pandas"):
+        out = assign_pq_codes(df, books, engine=engine).collect()
+        assert list(out[0]["codes"]) == [0], engine
 
 
 def test_pq_topk_lossless_at_rescore_on_clustered(spark) -> None:
@@ -893,3 +896,33 @@ def test_pq_rescore_pushes_in_filter_to_scan(spark, tmp_path) -> None:
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "In(vec_id, [" in plan, plan
     assert len(out.collect()) == 5
+
+
+def test_pq_pandas_engine_matches_sql_engine(spark) -> None:
+    """The Arrow/numpy scale path and the JVM reference path agree on
+    every code (they share the argmax(dot − ½|c|²) criterion; float ties
+    between distinct centroids are measure-zero on random data)."""
+    import random as _r
+
+    from neo4j_graphrag_python_spark.operators.similarity import (
+        assign_pq_codes,
+        fit_pq_codebooks,
+    )
+
+    rng = _r.Random(23)
+    rows = [
+        (i, [rng.gauss(0, 1) for _ in range(16)]) for i in range(200)
+    ]
+    books = fit_pq_codebooks([v for _, v in rows], m=4, num_centroids=8)
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    a = {
+        r["id"]: list(r["codes"])
+        for r in assign_pq_codes(df, books, engine="pandas").collect()
+    }
+    b = {
+        r["id"]: list(r["codes"])
+        for r in assign_pq_codes(df, books, engine="sql").collect()
+    }
+    assert a == b
+    with pytest.raises(ValueError):
+        assign_pq_codes(df, books, engine="nope").collect()
