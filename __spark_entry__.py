@@ -203,6 +203,8 @@ ELSH_THRESHOLD, ELSH_TARGET_RECALL = 0.4, 0.95
 # at; (16 cells, nprobe 8) is measured lossless on the sf0.01 vectors, so
 # its oracle is the TRUE exact all-pairs SQL, not a replication fixture
 EIVF_THRESHOLD, EIVF_C, EIVF_NPROBE = 0.4, 16, 8
+# training-sequence packing: context length in whitespace tokens
+PACK_SEQ_LEN = 512
 MINHASH_NUM_HASHES, MINHASH_BANDS = 96, 32
 MINHASH_SHINGLE_K, MINHASH_THRESHOLD = 5, 0.4
 MINHASH_EST_MARGIN = 0.15
@@ -1310,6 +1312,31 @@ def q_ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_pack_coords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk packing coordinates (two-phase distributed
+    prefix sum — never a global single-reducer window); oracle is the
+    straight window-SQL prefix sum, which is exact because prefix sums
+    are associative regardless of how the buckets split."""
+    from neo4j_graphrag_python_spark.operators.packing import (
+        pack_sequence_coords,
+    )
+
+    return pack_sequence_coords(
+        _read(spark, sf_dir, "documents"), PACK_SEQ_LEN
+    )
+
+
+def q_doc_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy whole-doc bin packing per source stratum (applyInPandas
+    sequential scan per source, parallel across sources); oracle is a
+    recursive-CTE walk of the identical recurrence."""
+    from neo4j_graphrag_python_spark.operators.packing import (
+        pack_bins_greedy,
+    )
+
+    return pack_bins_greedy(_read(spark, sf_dir, "documents"), PACK_SEQ_LEN)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_documents": q_kg_documents,
@@ -1350,6 +1377,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_ivf": q_ann_topk_ivf,
         "ann_topk_kmeans": q_ann_topk_kmeans,
         "ann_topk_pq": q_ann_topk_pq,
+        "doc_pack_coords": q_doc_pack_coords,
+        "doc_pack_bins": q_doc_pack_bins,
     }
 
 
@@ -1749,6 +1778,64 @@ JOIN customer ON o_custkey = c_custkey
 GROUP BY c_custkey, c_name
 ORDER BY revenue DESC, c_custkey
 LIMIT 10
+""",
+        "doc_pack_coords": rf"""
+WITH tok AS (
+  SELECT doc_id,
+         CAST(CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+'))
+         END AS BIGINT) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+              ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS BIGINT) AS start_offset
+  FROM tok
+)
+SELECT doc_id, n_tokens, start_offset,
+       CAST(start_offset // {PACK_SEQ_LEN} AS BIGINT) AS first_seq,
+       CAST(start_offset % {PACK_SEQ_LEN} AS BIGINT) AS offset_in_first,
+       CAST(CASE WHEN n_tokens > 0
+            THEN (start_offset + n_tokens - 1) // {PACK_SEQ_LEN}
+            ELSE start_offset // {PACK_SEQ_LEN} END AS BIGINT) AS last_seq,
+       CAST(CASE WHEN n_tokens > 0
+            THEN (start_offset + n_tokens - 1) // {PACK_SEQ_LEN}
+                 - start_offset // {PACK_SEQ_LEN} + 1
+            ELSE 0 END AS BIGINT) AS n_seqs
+FROM c
+""",
+        "doc_pack_bins": rf"""
+WITH RECURSIVE tok AS (
+  SELECT doc_id, source,
+         CAST(CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+'))
+         END AS BIGINT) AS n_tokens
+  FROM documents
+), t AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(least(n_tokens, {PACK_SEQ_LEN}) AS BIGINT) AS eff,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM tok
+), walk AS (
+  SELECT source, doc_id, n_tokens, eff, rn,
+         CAST(0 AS BIGINT) AS bin_id,
+         CAST(0 AS BIGINT) AS offset_in_bin,
+         eff AS fill
+  FROM t WHERE rn = 1
+  UNION ALL
+  SELECT t.source, t.doc_id, t.n_tokens, t.eff, t.rn,
+         CASE WHEN w.fill + t.eff > {PACK_SEQ_LEN}
+              THEN w.bin_id + 1 ELSE w.bin_id END,
+         CASE WHEN w.fill + t.eff > {PACK_SEQ_LEN}
+              THEN CAST(0 AS BIGINT) ELSE w.fill END,
+         CASE WHEN w.fill + t.eff > {PACK_SEQ_LEN}
+              THEN t.eff ELSE w.fill + t.eff END
+  FROM walk w JOIN t ON t.source = w.source AND t.rn = w.rn + 1
+)
+SELECT doc_id, source, n_tokens, eff AS eff_tokens, bin_id, offset_in_bin
+FROM walk
 """,
         "ann_topk_pq": """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
