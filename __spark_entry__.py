@@ -205,6 +205,20 @@ ELSH_THRESHOLD, ELSH_TARGET_RECALL = 0.4, 0.95
 EIVF_THRESHOLD, EIVF_C, EIVF_NPROBE = 0.4, 16, 8
 # training-sequence packing: context length in whitespace tokens
 PACK_SEQ_LEN = 512
+# linear quality classifier: pinned demo model (token, weight) — weights
+# are multiples of 1e-6 so the scaled-long sum is exact in any fold order
+QUALITY_VOCAB: list[tuple[str, float]] = [
+    ("the", 0.21), ("and", 0.18), ("of", 0.15), ("to", 0.12),
+    ("is", 0.11), ("in", 0.1), ("a", 0.08), ("that", 0.07),
+    ("research", 0.9), ("data", 0.75), ("model", 0.7), ("study", 0.65),
+    ("result", 0.6), ("method", 0.55), ("analysis", 0.5),
+    ("click", -1.2), ("buy", -1.1), ("free", -0.9), ("subscribe", -1.0),
+    ("winner", -1.3), ("casino", -1.5), ("offer", -0.8), ("deal", -0.7),
+    ("now!!!", -1.4), ("$$$", -1.6),
+]
+QUALITY_BIAS, QUALITY_THRESHOLD = -0.5, 0.5
+# temperature mixing: alpha-sampling over the (skewed) lang strata
+MIX_ALPHA, MIX_BUDGET = 0.5, 300
 MINHASH_NUM_HASHES, MINHASH_BANDS = 96, 32
 MINHASH_SHINGLE_K, MINHASH_THRESHOLD = 5, 0.4
 MINHASH_EST_MARGIN = 0.15
@@ -1337,6 +1351,39 @@ def q_doc_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_bins_greedy(_read(spark, sf_dir, "documents"), PACK_SEQ_LEN)
 
 
+def q_doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filter: linear bag-of-words scorer with a
+    pinned vocabulary; oracle replicates the explode→join→sum plan as
+    a VALUES join (the scaled-long weight sum makes both exact)."""
+    from neo4j_graphrag_python_spark.operators.text_analysis import (
+        linear_quality_classifier,
+    )
+
+    vocab = spark.createDataFrame(QUALITY_VOCAB, ["token", "weight"])
+    return linear_quality_classifier(
+        _read(spark, sf_dir, "documents"),
+        vocab,
+        bias=QUALITY_BIAS,
+        threshold=QUALITY_THRESHOLD,
+    )
+
+
+def q_doc_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alpha-sampled source mixing over the skewed lang strata; the
+    deterministic md5 row filter makes the sampled row SET (not just
+    its size) oracle-checkable."""
+    from neo4j_graphrag_python_spark.operators.sampling import temperature_mix
+
+    mixed, _rates = temperature_mix(
+        _read(spark, sf_dir, "documents"),
+        alpha=MIX_ALPHA,
+        budget_docs=MIX_BUDGET,
+        strata_col="lang",
+        key_col="doc_id",
+    )
+    return mixed.select("doc_id", "lang", "rate")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_documents": q_kg_documents,
@@ -1379,6 +1426,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_pq": q_ann_topk_pq,
         "doc_pack_coords": q_doc_pack_coords,
         "doc_pack_bins": q_doc_pack_bins,
+        "doc_quality_classifier": q_doc_quality_classifier,
+        "doc_temperature_mix": q_doc_temperature_mix,
     }
 
 
@@ -1836,6 +1885,51 @@ WITH RECURSIVE tok AS (
 )
 SELECT doc_id, source, n_tokens, eff AS eff_tokens, bin_id, offset_in_bin
 FROM walk
+""",
+        "doc_quality_classifier": (
+            "WITH v(token, w6) AS (VALUES "
+            + ", ".join(
+                f"('{t}', {int(round(w * 1e6))})" for t, w in QUALITY_VOCAB
+            )
+            + rf"""),
+tok AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+  FROM documents WHERE trim(text) <> ''
+),
+s AS (
+  SELECT t.doc_id, count(v.w6) AS n_hits, COALESCE(SUM(v.w6), 0) AS w6
+  FROM tok t LEFT JOIN v ON v.token = t.tok
+  GROUP BY t.doc_id
+)
+SELECT d.doc_id AS id,
+       CAST(COALESCE(s.n_hits, 0) AS BIGINT) AS n_hits,
+       round(COALESCE(s.w6, 0) / 1000000.0 + ({QUALITY_BIAS}), 6) AS logit,
+       round(1 / (1 + exp(-(COALESCE(s.w6, 0) / 1000000.0
+                            + ({QUALITY_BIAS})))), 6) AS score,
+       round(1 / (1 + exp(-(COALESCE(s.w6, 0) / 1000000.0
+                            + ({QUALITY_BIAS})))), 6)
+         >= {QUALITY_THRESHOLD} AS keep
+FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id
+"""
+        ),
+        "doc_temperature_mix": f"""
+WITH c AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang
+),
+r AS (
+  SELECT lang,
+         round(least(1.0,
+               {float(MIX_BUDGET)} *
+               (pow(CAST(n_docs AS DOUBLE), {MIX_ALPHA})
+                / sum(pow(CAST(n_docs AS DOUBLE), {MIX_ALPHA})) OVER ())
+               / n_docs), 6) AS rate
+  FROM c
+)
+SELECT d.doc_id, d.lang, r.rate
+FROM documents d JOIN r USING (lang)
+WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      / 4294967296.0 < r.rate
 """,
         "ann_topk_pq": """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

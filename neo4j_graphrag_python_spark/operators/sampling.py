@@ -69,6 +69,61 @@ def stratified_sample(
     )
 
 
+def temperature_mix(
+    df: DataFrame,
+    alpha: float,
+    budget_docs: int,
+    strata_col: str,
+    key_col: str,
+    salt: str = "",
+) -> tuple[DataFrame, DataFrame]:
+    """Temperature-based source mixing: resample the corpus so stratum
+    s contributes ∝ p_s^α of a ``budget_docs`` total, where p_s is its
+    natural share (the multilingual-pretraining α-sampling rule —
+    XLM-R / mBERT exponentiated smoothing; α=1 keeps natural
+    proportions, α→0 approaches uniform, up-weighting tail sources).
+
+    Returns ``(mixed_df, rates_df)``: the sampled rows plus the
+    per-stratum rate table ``(stratum, n_docs, rate)`` with
+    ``rate = min(1, budget·q_s / n_s)``, ``q_s = n_s^α / Σ n^α``,
+    rounded to 6 decimals — row selection then reuses the deterministic
+    md5 filter, so the mix is stable across re-runs and engines and the
+    whole operator is one small counting aggregate + one broadcast join
+    + a partition-local filter (no data shuffle; strata with
+    rate 1.0 pass through whole).
+
+    Rates are derived INSIDE the plan (a window over the tiny
+    per-stratum count table), not on the driver — nothing is collected.
+    """
+    if alpha < 0:
+        raise ValueError("alpha must be >= 0")
+    if budget_docs < 0:
+        raise ValueError("budget_docs must be >= 0")
+    from pyspark.sql import Window
+
+    counts = df.groupBy(strata_col).agg(F.count("*").alias("n_docs"))
+    w_all = Window.partitionBy()
+    q = F.pow(F.col("n_docs").cast("double"), float(alpha))
+    rates = counts.select(
+        strata_col,
+        "n_docs",
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.lit(float(budget_docs))
+                * (q / F.sum(q).over(w_all))
+                / F.col("n_docs"),
+            ),
+            6,
+        ).alias("rate"),
+    )
+    mixed = (
+        df.join(F.broadcast(rates.drop("n_docs")), strata_col)
+        .where(_hash_unit(F.col(key_col).cast("string"), salt) < F.col("rate"))
+    )
+    return mixed, rates
+
+
 def corpus_stats_rollup(
     docs: DataFrame,
     lang_col: str = "lang",

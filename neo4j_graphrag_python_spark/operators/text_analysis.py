@@ -114,6 +114,62 @@ def quality_score(
     )
 
 
+def linear_quality_classifier(
+    df: DataFrame,
+    vocab: DataFrame,
+    bias: float = 0.0,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Model-based quality filtering: score each document with a linear
+    bag-of-words classifier (the CCNet / GPT-3 quality-filter shape — a
+    trained linear model over token features; fastText reduces to
+    exactly this at inference).  ``vocab`` is a (token, weight) table —
+    the trained model's non-zero features.  Returns
+    ``(id, n_hits, logit, score, keep)`` with
+    ``score = sigmoid(bias + Σ weight[token])`` over ALL token
+    occurrences (bag-of-words counts, not distinct) and
+    ``keep = round(score, 6) >= threshold`` (computed from the rounded
+    score so cross-engine exp() ULP differences cannot flip it).
+
+    Weights are quantized to 1e-6 and summed as LONGs: a float sum over
+    a shuffled groupBy is fold-order-nondeterministic in its last bits,
+    but the scaled-integer sum is exact in any order (every |logit| <
+    9·10⁹ here), so the operator is bit-deterministic across runs,
+    partitionings, and engines.
+
+    Plan shape for 100 TB: one scan — tokens ``explode_outer`` (empty
+    docs survive as a NULL token), broadcast-join the vocabulary
+    (models have 10⁴-10⁶ non-zero features — always broadcastable),
+    then one map-side-combinable groupBy(id) sum.  The text column is
+    dropped before the shuffle; only (id, weight) rows move.  No
+    Python anywhere.
+    """
+    toks = _tokens(F.col(text_col))
+    exploded = df.select(
+        F.col(id_col).alias("id"), F.explode_outer(toks).alias("tok")
+    )
+    w_scaled = F.round(vocab["weight"] * 1e6).cast("long")
+    scored = (
+        exploded.join(F.broadcast(vocab), exploded["tok"] == vocab["token"], "left")
+        .groupBy("id")
+        .agg(
+            F.count(vocab["weight"]).alias("n_hits"),
+            F.coalesce(F.sum(w_scaled), F.lit(0)).alias("_wsum6"),
+        )
+    )
+    logit = F.col("_wsum6") / F.lit(1e6) + F.lit(float(bias))
+    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6)
+    return scored.select(
+        "id",
+        "n_hits",
+        F.round(logit, 6).alias("logit"),
+        score.alias("score"),
+        (score >= F.lit(float(threshold))).alias("keep"),
+    )
+
+
 def language_id(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

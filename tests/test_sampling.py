@@ -92,3 +92,75 @@ def test_rollup_distinguishes_null_data_from_rollup_all(spark) -> None:
     assert rows[("en", "web")] == 1
     assert rows[("en", "<all>")] == 2
     assert rows[("<all>", "<all>")] == 2
+
+
+def test_temperature_mix_rates_and_rows(docs, spark) -> None:
+    """alpha<1 must up-weight tail strata relative to natural share,
+    the row set must be deterministic, and the expected kept counts
+    must track budget*q_s."""
+    from neo4j_graphrag_python_spark.operators.sampling import temperature_mix
+
+    mixed, rates = temperature_mix(
+        docs, alpha=0.5, budget_docs=300, strata_col="lang",
+        key_col="doc_id",
+    )
+    r = {x["lang"]: x.asDict() for x in rates.collect()}
+    n_total = sum(v["n_docs"] for v in r.values())
+    # alpha=0.5 gives every smaller stratum a HIGHER rate than the
+    # head stratum (rate ∝ n^(alpha-1) is decreasing in n)
+    head = max(r.values(), key=lambda v: v["n_docs"])
+    for v in r.values():
+        if v["n_docs"] < head["n_docs"]:
+            assert v["rate"] >= head["rate"], (v, head)
+    # replicate the rate arithmetic straight-line
+    import math
+
+    sq = sum(math.sqrt(v["n_docs"]) for v in r.values())
+    for v in r.values():
+        want = min(1.0, 300.0 * (math.sqrt(v["n_docs"]) / sq) / v["n_docs"])
+        assert abs(v["rate"] - want) < 1e-6, (v, want)
+    # rows: deterministic re-run, and every kept row passes the md5 test
+    a = {x["doc_id"] for x in mixed.select("doc_id").collect()}
+    mixed2, _ = temperature_mix(
+        docs, alpha=0.5, budget_docs=300, strata_col="lang",
+        key_col="doc_id",
+    )
+    assert a == {x["doc_id"] for x in mixed2.select("doc_id").collect()}
+    assert 0 < len(a) < n_total
+
+
+def test_temperature_mix_alpha1_is_proportional_and_validates(docs) -> None:
+    from neo4j_graphrag_python_spark.operators.sampling import temperature_mix
+
+    _, rates = temperature_mix(
+        docs, alpha=1.0, budget_docs=100, strata_col="lang",
+        key_col="doc_id",
+    )
+    n_total = sum(r["n_docs"] for r in rates.collect())
+    # alpha=1: q_s = n_s/N, so every stratum gets the SAME rate B/N
+    vals = {r["rate"] for r in rates.collect()}
+    assert len(vals) == 1
+    assert abs(next(iter(vals)) - 100.0 / n_total) < 1e-6
+    with pytest.raises(ValueError):
+        temperature_mix(docs, alpha=-0.1, budget_docs=10,
+                        strata_col="lang", key_col="doc_id")
+    with pytest.raises(ValueError):
+        temperature_mix(docs, alpha=0.5, budget_docs=-1,
+                        strata_col="lang", key_col="doc_id")
+
+
+def test_temperature_mix_rate_capped_at_one(spark) -> None:
+    """A budget larger than the corpus caps every rate at 1.0 and keeps
+    every row."""
+    from neo4j_graphrag_python_spark.operators.sampling import temperature_mix
+
+    df = spark.createDataFrame(
+        [(i, "x", "en" if i % 3 else "fr") for i in range(30)],
+        "doc_id long, text string, lang string",
+    )
+    mixed, rates = temperature_mix(
+        df, alpha=0.3, budget_docs=10_000, strata_col="lang",
+        key_col="doc_id",
+    )
+    assert all(r["rate"] == 1.0 for r in rates.collect())
+    assert mixed.count() == 30

@@ -926,3 +926,67 @@ def test_pq_pandas_engine_matches_sql_engine(spark) -> None:
     assert a == b
     with pytest.raises(ValueError):
         assign_pq_codes(df, books, engine="nope").collect()
+
+
+def test_linear_quality_classifier_matches_straightline(spark) -> None:
+    """Score every doc against a tiny pinned model and replicate the
+    bag-of-words logit in plain Python (scaled-long exactness)."""
+    from neo4j_graphrag_python_spark.operators.text_analysis import (
+        linear_quality_classifier,
+    )
+    import math
+
+    vocab = [("good", 1.5), ("the", 0.25), ("spam", -2.0)]
+    docs = [
+        (1, "The GOOD the good  spam"),   # lower+trim; counts occurrences
+        (2, "nothing matches here"),
+        (3, ""),
+        (4, "spam spam spam"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    vdf = spark.createDataFrame(vocab, ["token", "weight"])
+    out = {
+        r["id"]: r.asDict()
+        for r in linear_quality_classifier(
+            df, vdf, bias=-0.5, threshold=0.5
+        ).collect()
+    }
+    assert set(out) == {1, 2, 3, 4}
+
+    def expect(text):
+        toks = text.lower().strip().split()
+        w6 = sum(
+            int(round(w * 1e6)) for t in toks for v, w in vocab if v == t
+        )
+        hits = sum(1 for t in toks for v, _ in vocab if v == t)
+        logit = w6 / 1e6 - 0.5
+        score = round(1 / (1 + math.exp(-logit)), 6)
+        return hits, round(logit, 6), score, score >= 0.5
+
+    for i, text in docs:
+        hits, logit, score, keep = expect(text)
+        got = out[i]
+        assert (
+            got["n_hits"], got["logit"], got["score"], got["keep"]
+        ) == (hits, logit, score, keep), (i, got)
+
+
+def test_linear_quality_classifier_broadcasts_and_drops_text(spark) -> None:
+    """The vocab join must be a broadcast and the text column must not
+    survive into the aggregation exchange."""
+    from neo4j_graphrag_python_spark.operators.text_analysis import (
+        linear_quality_classifier,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "a few words here") for i in range(100)], ["doc_id", "text"]
+    )
+    vdf = spark.createDataFrame([("words", 1.0)], ["token", "weight"])
+    plan = (
+        linear_quality_classifier(df, vdf)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan, plan
+    assert "partial_count" in plan or "partial" in plan.lower(), plan
