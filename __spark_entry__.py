@@ -219,6 +219,8 @@ QUALITY_VOCAB: list[tuple[str, float]] = [
 QUALITY_BIAS, QUALITY_THRESHOLD = -0.5, 0.5
 # temperature mixing: alpha-sampling over the (skewed) lang strata
 MIX_ALPHA, MIX_BUDGET = 0.5, 300
+# composite curation chain (classifier -> exact dedup -> mix)
+CURATE_ALPHA, CURATE_BUDGET = 0.5, 250
 MINHASH_NUM_HASHES, MINHASH_BANDS = 96, 32
 MINHASH_SHINGLE_K, MINHASH_THRESHOLD = 5, 0.4
 MINHASH_EST_MARGIN = 0.15
@@ -1384,6 +1386,30 @@ def q_doc_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mixed.select("doc_id", "lang", "rate")
 
 
+def q_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed curation chain — model-based quality filter →
+    exact dedup among survivors → temperature mix over the deduped
+    inventory.  Every stage is deterministic, so the END-TO-END row
+    set (with per-row score and sampling rate) is oracle-checked as
+    one CTE chain, not just stage by stage.  At sf0.01 the testdata
+    has no exact duplicates, so the dedup stage passes everything
+    through here; the planted-duplicate path is pinned in
+    tests/test_curation.py."""
+    from neo4j_graphrag_python_spark.plans.curation import curate_corpus
+
+    vocab = spark.createDataFrame(QUALITY_VOCAB, ["token", "weight"])
+    curated, _rates = curate_corpus(
+        _read(spark, sf_dir, "documents"),
+        vocab,
+        bias=QUALITY_BIAS,
+        threshold=QUALITY_THRESHOLD,
+        alpha=CURATE_ALPHA,
+        budget_docs=CURATE_BUDGET,
+        strata_col="lang",
+    )
+    return curated
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_documents": q_kg_documents,
@@ -1428,6 +1454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pack_bins": q_doc_pack_bins,
         "doc_quality_classifier": q_doc_quality_classifier,
         "doc_temperature_mix": q_doc_temperature_mix,
+        "corpus_curate": q_corpus_curate,
     }
 
 
@@ -1931,6 +1958,54 @@ FROM documents d JOIN r USING (lang)
 WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
       / 4294967296.0 < r.rate
 """,
+        "corpus_curate": (
+            "WITH v(token, w6) AS (VALUES "
+            + ", ".join(
+                f"('{t}', {int(round(w * 1e6))})" for t, w in QUALITY_VOCAB
+            )
+            + rf"""),
+tok AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+  FROM documents WHERE trim(text) <> ''
+),
+s AS (
+  SELECT t.doc_id, COALESCE(SUM(v.w6), 0) AS w6
+  FROM tok t LEFT JOIN v ON v.token = t.tok
+  GROUP BY t.doc_id
+),
+kept AS (
+  SELECT d.doc_id, d.lang, d.text,
+         round(1 / (1 + exp(-(COALESCE(s.w6, 0) / 1000000.0
+                              + ({QUALITY_BIAS})))), 6) AS score
+  FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id
+  WHERE round(1 / (1 + exp(-(COALESCE(s.w6, 0) / 1000000.0
+                             + ({QUALITY_BIAS})))), 6) >= {QUALITY_THRESHOLD}
+),
+keepers AS (
+  SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(text)
+),
+surv AS (
+  SELECT k.doc_id, k.lang, k.score FROM kept k JOIN keepers USING (doc_id)
+),
+c AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM surv GROUP BY lang
+),
+r AS (
+  SELECT lang,
+         round(least(1.0,
+               {float(CURATE_BUDGET)} *
+               (pow(CAST(n_docs AS DOUBLE), {CURATE_ALPHA})
+                / sum(pow(CAST(n_docs AS DOUBLE), {CURATE_ALPHA})) OVER ())
+               / n_docs), 6) AS rate
+  FROM c
+)
+SELECT sv.doc_id, sv.lang, sv.score, r.rate
+FROM surv sv JOIN r USING (lang)
+WHERE CAST(('0x' || substr(md5(CAST(sv.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      / 4294967296.0 < r.rate
+"""
+        ),
         "ann_topk_pq": """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
