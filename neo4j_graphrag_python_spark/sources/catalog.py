@@ -84,6 +84,9 @@ def write_catalog_table(
             df.write.format(file_format).mode("append").saveAsTable(table)
     else:
         raise ValueError(f"unknown mode: {mode!r}")
+    # the session caches each table's file listing; after a replace the
+    # cached entries point at deleted files — invalidate explicitly
+    df.sparkSession.catalog.refreshTable(table)
 
 
 def merge_upsert(
@@ -109,6 +112,12 @@ def merge_upsert(
     """
     if not key_cols:
         raise ValueError("key_cols must be non-empty")
+    if not spark.catalog.tableExists(table):
+        # first batch of an incremental feed: the merge degenerates to
+        # table creation (same shape Iceberg's MERGE INTO needs anyway —
+        # the table must exist before MERGE can target it)
+        write_catalog_table(delta, table, "create_or_replace", file_format)
+        return
     if catalog_supports_merge(spark, table):
         delta.createOrReplaceTempView("_merge_delta")
         on = " AND ".join(f"t.{c} = s.{c}" for c in key_cols)
@@ -155,6 +164,12 @@ def materialize_graph(
     else:
         write_catalog_table(nodes, nt, mode, file_format, partition_nodes_by)
         write_catalog_table(edges, et, mode, file_format, partition_edges_by)
+    # NB: on the V1 fallback a replace is drop+create, so OTHER sessions
+    # holding a cached file listing must refreshTable before reading
+    # (ACID catalogs snapshot-isolate this away — another reason the
+    # production path is Iceberg).
+    spark.catalog.refreshTable(nt)
+    spark.catalog.refreshTable(et)
     return {
         "nodes_table": nt,
         "edges_table": et,

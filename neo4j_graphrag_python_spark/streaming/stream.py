@@ -51,6 +51,7 @@ def stream_kg_pipeline(
     schema: GraphSchema | None = None,
     config: PipelineConfig | None = None,
     trigger_once: bool = False,
+    sink: str = "parquet_append",
 ):
     """Run the KG pipeline per micro-batch via foreachBatch.
 
@@ -58,6 +59,18 @@ def stream_kg_pipeline(
     re-processing idempotent (a replayed micro-batch rewrites identical
     rows), which together with the stream checkpoint gives effective
     exactly-once output.
+
+    Sinks:
+      * ``parquet_append`` — raw batch_id-stamped parquet append (audit
+        log shape; replays append identical rows distinguished by
+        batch_id);
+      * ``catalog_merge`` — incremental KG *maintenance*: each batch's
+        nodes/edges are MERGE-upserted into ``{output_dir}_nodes`` /
+        ``_edges`` catalog tables keyed by graph identity (node ``id``;
+        edge ``(start, type, end)``), so a re-delivered or replayed
+        conversation REPLACES its earlier rows instead of duplicating
+        them — the Iceberg production shape (`sources/catalog.py`),
+        ``output_dir`` is then a table-name prefix, not a path.
     """
     cfg = config or PipelineConfig()
 
@@ -65,6 +78,15 @@ def stream_kg_pipeline(
         if batch_df.isEmpty():
             return
         result = run_kg_pipeline(batch_df, extractor_fn, schema, cfg)
+        if sink == "catalog_merge":
+            from neo4j_graphrag_python_spark.sources.catalog import (
+                materialize_graph,
+            )
+
+            materialize_graph(
+                result.nodes, result.edges, output_dir, mode="merge"
+            )
+            return
         (
             result.nodes.withColumn("batch_id", F.lit(batch_id))
             .write.mode("append")

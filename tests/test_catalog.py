@@ -98,3 +98,53 @@ def test_materialize_graph_and_incremental_merge(spark, fresh_db):
 def test_merge_requires_keys(spark, fresh_db):
     with pytest.raises(ValueError):
         merge_upsert(spark, _nodes(spark, [1]), f"{fresh_db}.x", ())
+
+
+def test_streaming_catalog_merge_idempotent(spark, fresh_db, tmp_path):
+    """Incremental KG maintenance: a replayed/re-delivered conversation
+    must REPLACE its rows in the catalog tables, not duplicate them."""
+    from neo4j_graphrag_python_spark import transcripts as tr
+    from neo4j_graphrag_python_spark.operators.extractor import (
+        demo_rules,
+        regex_extractor,
+    )
+    from neo4j_graphrag_python_spark.schema import demo_schema
+    from neo4j_graphrag_python_spark.streaming.stream import (
+        read_transcript_stream,
+        stream_kg_pipeline,
+    )
+    from neo4j_graphrag_python_spark.types import PipelineConfig, SplitterConfig
+
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    tr.write_transcripts(src / "batch1.parquet", 0.0001)
+    tgt = f"{fresh_db}.stream_kg"
+    kw = dict(
+        extractor_fn=regex_extractor(demo_rules()),
+        output_dir=tgt,
+        schema=demo_schema(),
+        config=PipelineConfig(splitter=SplitterConfig(600, 200)),
+        trigger_once=True,
+        sink="catalog_merge",
+    )
+
+    stream = read_transcript_stream(spark, str(src))
+    q = stream_kg_pipeline(stream, checkpoint_dir=str(tmp_path / "c1"), **kw)
+    q.awaitTermination(180)
+    n1 = spark.read.table(f"{tgt}_nodes").count()
+    e1 = spark.read.table(f"{tgt}_edges").count()
+    assert n1 > 0 and e1 > 0
+
+    # replay the SAME file through a fresh checkpoint (simulates redelivery)
+    stream2 = read_transcript_stream(spark, str(src))
+    q2 = stream_kg_pipeline(stream2, checkpoint_dir=str(tmp_path / "c2"), **kw)
+    q2.awaitTermination(180)
+    # V1-fallback replace is drop+create: this session's cached file
+    # listing is stale after the clone session rewrote the table
+    spark.catalog.refreshTable(f"{tgt}_nodes")
+    spark.catalog.refreshTable(f"{tgt}_edges")
+    assert spark.read.table(f"{tgt}_nodes").count() == n1
+    assert spark.read.table(f"{tgt}_edges").count() == e1
+    # node identity holds: ids unique
+    nd = spark.read.table(f"{tgt}_nodes")
+    assert nd.select("id").distinct().count() == n1
