@@ -38,6 +38,7 @@ from neo4j_graphrag_python_spark.operators.extractor import (
     regex_extractor,
 )
 from neo4j_graphrag_python_spark.operators.splitter import split_fixed_size
+from neo4j_graphrag_python_spark.operators.training import unrolled_training_sql
 from neo4j_graphrag_python_spark.plans.pipeline import run_kg_pipeline, triples_view
 from neo4j_graphrag_python_spark.schema import demo_schema
 from neo4j_graphrag_python_spark.types import PipelineConfig, SplitterConfig
@@ -221,6 +222,13 @@ QUALITY_BIAS, QUALITY_THRESHOLD = -0.5, 0.5
 MIX_ALPHA, MIX_BUDGET = 0.5, 300
 # composite curation chain (classifier -> exact dedup -> mix)
 CURATE_ALPHA, CURATE_BUDGET = 0.5, 250
+# classifier TRAINING (full-batch GD over scaled longs; label = doc
+# contains the token 'slow' -- the trainer must learn that feature)
+TRAIN_VOCAB = [
+    "slow", "fast", "join", "scan", "hash", "merge",
+    "filter", "batch", "row", "column", "vector", "query",
+]
+TRAIN_EPOCHS, TRAIN_LR, TRAIN_BIAS, TRAIN_LABEL_TOKEN = 2, 2.0, 0.0, "slow"
 MINHASH_NUM_HASHES, MINHASH_BANDS = 96, 32
 MINHASH_SHINGLE_K, MINHASH_THRESHOLD = 5, 0.4
 MINHASH_EST_MARGIN = 0.15
@@ -1410,6 +1418,37 @@ def q_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curated
 
 
+def q_quality_train_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed training of the linear quality classifier (full-batch
+    GD, scaled-long exact arithmetic — operators/training.py).  Labels
+    are derived from the corpus itself (does the doc contain
+    TRAIN_LABEL_TOKEN), so the trained weight table is a pure function
+    of the input and the unrolled-epoch SQL oracle replays the identical
+    recurrence."""
+    from neo4j_graphrag_python_spark.operators.text_analysis import _tokens
+    from neo4j_graphrag_python_spark.operators.training import (
+        fit_linear_classifier,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    labels = docs.select(
+        "doc_id",
+        F.array_contains(_tokens(F.col("text")), TRAIN_LABEL_TOKEN)
+        .cast("int")
+        .alias("y"),
+    )
+    vocab = spark.createDataFrame([(t,) for t in TRAIN_VOCAB], ["token"])
+    w = fit_linear_classifier(
+        docs,
+        labels,
+        vocab,
+        epochs=TRAIN_EPOCHS,
+        lr=TRAIN_LR,
+        bias=TRAIN_BIAS,
+    )
+    return w.select("token", F.round("weight", 6).alias("weight"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_documents": q_kg_documents,
@@ -1455,6 +1494,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality_classifier": q_doc_quality_classifier,
         "doc_temperature_mix": q_doc_temperature_mix,
         "corpus_curate": q_corpus_curate,
+        "quality_train_weights": q_quality_train_weights,
     }
 
 
@@ -2005,6 +2045,22 @@ FROM surv sv JOIN r USING (lang)
 WHERE CAST(('0x' || substr(md5(CAST(sv.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
       / 4294967296.0 < r.rate
 """
+        ),
+        "quality_train_weights": unrolled_training_sql(
+            "v0(token) AS (VALUES "
+            + ", ".join(f"('{t}')" for t in TRAIN_VOCAB)
+            + ")",
+            epochs=TRAIN_EPOCHS,
+            lr=TRAIN_LR,
+            bias=TRAIN_BIAS,
+            label_expr=(
+                "CASE WHEN list_contains(regexp_split_to_array("
+                f"trim(lower(text)), '\\s+'), '{TRAIN_LABEL_TOKEN}') "
+                "THEN 1 ELSE 0 END"
+            ),
+        ).replace(
+            "SELECT token, w6 / 1000000.0 AS weight",
+            "SELECT token, round(w6 / 1000000.0, 6) AS weight",
         ),
         "ann_topk_pq": """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

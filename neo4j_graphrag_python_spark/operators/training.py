@@ -1,0 +1,213 @@
+"""Distributed training of the linear quality classifier.
+
+`text_analysis.linear_quality_classifier` scores documents with a fixed
+(token, weight) model; this module TRAINS that model on labeled docs —
+the missing producer in the train → score → curate chain a pretraining
+data pipeline runs (CCNet / GPT-3-style quality filters are trained on
+"good vs junk" labels exactly like this; fastText without char-grams
+reduces to the same linear bag-of-words model).
+
+Algorithm: full-batch logistic-regression gradient descent over a fixed
+vocabulary.  Per epoch:
+
+    logit_d = bias + Σ_tok c_{d,tok} · w_tok
+    p_d     = round(sigmoid(logit_d), 6)
+    g_tok   = Σ_d (p_d − y_d) · c_{d,tok}
+    w_tok  ← round(w_tok − lr · g_tok / n_docs, 6)
+
+Every sum runs on **1e-6-scaled LONGs** (weights and residuals are
+quantized, counts are ints), so each epoch's aggregation is exact under
+any fold order / partitioning — the whole trainer is bit-deterministic
+across runs and engines, and its unrolled-epoch SQL translation is an
+exact oracle (the same scaled-integer trick as the classifier itself,
+text_analysis.py:136-140).  Rounding p to 1e-6 bounds cross-engine
+exp() ULP skew the same way the scorer does.
+
+Plan shape at scale: the (doc, token, count) feature table is computed
+ONCE (one explode + broadcast vocab join + groupBy) and persisted;
+each epoch is then one broadcast join with the vocab-sized weight table
+(models have 10⁴-10⁶ non-zero features — always broadcastable), one
+map-side-combinable groupBy(doc) for logits, one groupBy(token) for
+gradients.  Per-epoch cost is two shuffles of NARROW rows — text is
+touched exactly once for the whole training run.  Epochs are a driver
+loop only in control flow; no data ever reaches the driver except the
+final vocab-sized weight table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from neo4j_graphrag_python_spark.operators.text_analysis import _tokens
+
+_SCALE = 1_000_000
+
+
+def token_count_features(
+    docs: DataFrame,
+    vocab_tokens: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, token, c) bag-of-words counts restricted to the vocabulary.
+
+    The training feature table — computed once, reused every epoch.
+    ``vocab_tokens`` is a 1-column (token) DataFrame.
+    """
+    exploded = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(_tokens(F.col(text_col))).alias("token"),
+    )
+    return (
+        exploded.join(F.broadcast(vocab_tokens.select("token")), "token")
+        .groupBy("id", "token")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+
+
+def fit_linear_classifier(
+    docs: DataFrame,
+    labels: DataFrame,
+    vocab_tokens: DataFrame,
+    epochs: int = 3,
+    lr: float = 1.0,
+    bias: float = 0.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Train (token, weight) by full-batch GD; returns the weight table.
+
+    ``labels`` is (id, y) with y ∈ {0, 1}.  Weights start at 0; ``bias``
+    is a fixed prior (not trained — quality vocabularies are built
+    against a chosen operating point, and a trainable bias adds a
+    non-SQL-friendly second recurrence for little gain at this model
+    size).  Docs without labels are ignored; label rows without docs
+    contribute nothing (inner joins).
+    """
+    if epochs < 1:
+        raise ValueError("epochs must be >= 1")
+    feats = token_count_features(docs, vocab_tokens, id_col, text_col)
+    lab = labels.select(
+        F.col(id_col).alias("id"), F.col("y").cast("long").alias("y")
+    )
+    # restrict to labeled docs once; persist — every epoch reuses it
+    feats = feats.join(lab.select("id"), "id").persist()
+    n_docs = lab.count()
+    if n_docs == 0:
+        raise ValueError("labels is empty")
+    spark = docs.sparkSession
+    # w6: 1e-6-scaled LONG weights, start at zero for every vocab token
+    w = vocab_tokens.select("token", F.lit(0).cast("long").alias("w6"))
+    for _ in range(epochs):
+        # logits over labeled docs (docs with no vocab hits => logit 0
+        # via the LEFT join from labels)
+        dots = (
+            feats.join(F.broadcast(w), "token")
+            .groupBy("id")
+            .agg(F.sum(F.col("c") * F.col("w6")).alias("dot6"))
+        )
+        logit = F.coalesce(F.col("dot6"), F.lit(0)) / F.lit(
+            float(_SCALE)
+        ) + F.lit(float(bias))
+        # resid6 = round(sigmoid(logit), 6)*1e6 - y*1e6, exact small long
+        p6 = F.round(
+            F.lit(float(_SCALE)) / (F.lit(1.0) + F.exp(-logit))
+        ).cast("long")
+        resid = lab.join(dots, "id", "left").select(
+            "id", (p6 - F.col("y") * F.lit(_SCALE)).alias("resid6")
+        )
+        # grad6_tok = sum(resid6 * c): exact long sum, any fold order
+        grad = (
+            feats.join(resid, "id")
+            .groupBy("token")
+            .agg(F.sum(F.col("resid6") * F.col("c")).alias("g6"))
+        )
+        # w ← round(w − lr·g/n, 6), carried as scaled longs
+        w = (
+            w.join(grad, "token", "left")
+            .select(
+                "token",
+                F.round(
+                    F.col("w6")
+                    - F.lit(float(lr))
+                    * F.coalesce(F.col("g6"), F.lit(0))
+                    / F.lit(float(n_docs))
+                )
+                .cast("long")
+                .alias("w6"),
+            )
+        )
+        # the weight table is vocab-sized: materialize it per epoch so
+        # the lineage does not stack epochs into one giant plan
+        w = spark.createDataFrame(w.collect(), schema=w.schema)
+    feats.unpersist()
+    return w.select(
+        "token", (F.col("w6") / F.lit(float(_SCALE))).alias("weight")
+    )
+
+
+def unrolled_training_sql(
+    vocab_values_cte: str,
+    epochs: int,
+    lr: float,
+    bias: float,
+    docs_table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    label_expr: str = "y",
+) -> str:
+    """The exact DuckDB-SQL replica of :func:`fit_linear_classifier`,
+    with epochs unrolled into a CTE chain (w0 → w1 → … → wT).
+
+    ``vocab_values_cte`` is e.g. ``v0(token) AS (VALUES ('a'), ('b'))``;
+    ``label_expr`` is a SQL expression over the docs table yielding the
+    0/1 label.  Used by the driver-contract oracle; kept next to the
+    implementation so the two recurrences are reviewed together.
+    """
+    head = rf"""WITH {vocab_values_cte},
+lab AS (
+  SELECT {id_col} AS id, CAST({label_expr} AS BIGINT) AS y
+  FROM {docs_table}
+),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM lab),
+tok AS (
+  SELECT {id_col} AS id,
+         unnest(regexp_split_to_array(trim(lower({text_col})), '\s+')) AS token
+  FROM {docs_table} WHERE trim({text_col}) <> ''
+),
+feats AS (
+  SELECT t.id, t.token, CAST(count(*) AS BIGINT) AS c
+  FROM tok t JOIN v0 USING (token) JOIN lab ON lab.id = t.id
+  GROUP BY t.id, t.token
+),
+w0 AS (SELECT token, CAST(0 AS BIGINT) AS w6 FROM v0)"""
+    parts = [head]
+    for e in range(epochs):
+        parts.append(
+            f""",
+dots{e} AS (
+  SELECT f.id, SUM(f.c * w.w6) AS dot6
+  FROM feats f JOIN w{e} w USING (token) GROUP BY f.id
+),
+resid{e} AS (
+  SELECT lab.id,
+         CAST(round(1000000.0 / (1 + exp(-(COALESCE(d.dot6, 0) / 1000000.0
+                                           + ({bias}))))) AS BIGINT)
+           - lab.y * 1000000 AS resid6
+  FROM lab LEFT JOIN dots{e} d ON d.id = lab.id
+),
+grad{e} AS (
+  SELECT f.token, SUM(r.resid6 * f.c) AS g6
+  FROM feats f JOIN resid{e} r ON r.id = f.id GROUP BY f.token
+),
+w{e + 1} AS (
+  SELECT w.token,
+         CAST(round(w.w6 - ({lr}) * COALESCE(g.g6, 0) / n.n_docs) AS BIGINT)
+           AS w6
+  FROM w{e} w LEFT JOIN grad{e} g USING (token), n
+)"""
+        )
+    parts.append(
+        f"\nSELECT token, w6 / 1000000.0 AS weight FROM w{epochs}\n"
+    )
+    return "".join(parts)

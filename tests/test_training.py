@@ -1,0 +1,114 @@
+"""Distributed linear-classifier training (full-batch GD, scaled-long
+exact arithmetic)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from neo4j_graphrag_python_spark.operators.text_analysis import (
+    linear_quality_classifier,
+)
+from neo4j_graphrag_python_spark.operators.training import (
+    fit_linear_classifier,
+    token_count_features,
+)
+
+SCALE = 1_000_000
+
+
+def _straight_line(rows, labels, vocab, epochs, lr, bias):
+    """Pure-Python replica of the scaled-long recurrence."""
+    counts = {}
+    for doc_id, text in rows:
+        t = text.strip().lower()
+        toks = t.split() if t else []
+        for tok in toks:
+            if tok in vocab:
+                counts[(doc_id, tok)] = counts.get((doc_id, tok), 0) + 1
+    n = len(labels)
+    w6 = {t: 0 for t in vocab}
+    for _ in range(epochs):
+        dots = {}
+        for (d, tok), c in counts.items():
+            dots[d] = dots.get(d, 0) + c * w6[tok]
+        resid = {}
+        for d, y in labels.items():
+            logit = dots.get(d, 0) / SCALE + bias
+            p6 = round(SCALE / (1 + math.exp(-logit)))
+            resid[d] = p6 - y * SCALE
+        g6 = {t: 0 for t in vocab}
+        for (d, tok), c in counts.items():
+            if d in resid:
+                g6[tok] += resid[d] * c
+        w6 = {t: round(w6[t] - lr * g6[t] / n) for t in vocab}
+    return {t: w6[t] / SCALE for t in vocab}
+
+
+def _fixture(spark):
+    rows = [
+        (0, "research evidence method"),
+        (1, "research research evidence"),
+        (2, "buy now click click"),
+        (3, "click buy spam spam"),
+        (4, "research method results"),
+        (5, ""),
+    ]
+    labels = {0: 1, 1: 1, 2: 0, 3: 0, 4: 1, 5: 0}
+    vocab = ["research", "evidence", "method", "click", "buy", "absent"]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    lab = spark.createDataFrame(list(labels.items()), ["doc_id", "y"])
+    voc = spark.createDataFrame([(t,) for t in vocab], ["token"])
+    return rows, labels, vocab, docs, lab, voc
+
+
+def test_matches_straight_line_replica(spark):
+    rows, labels, vocab, docs, lab, voc = _fixture(spark)
+    got = {
+        r.token: r.weight
+        for r in fit_linear_classifier(
+            docs, lab, voc, epochs=3, lr=2.0, bias=-0.1
+        ).collect()
+    }
+    want = _straight_line(rows, labels, set(vocab), 3, 2.0, -0.1)
+    assert got == want  # exact, not approx — scaled-long arithmetic
+
+
+def test_partitioning_invariance(spark):
+    _, _, _, docs, lab, voc = _fixture(spark)
+    a = fit_linear_classifier(docs, lab, voc, epochs=2, lr=1.0)
+    b = fit_linear_classifier(
+        docs.repartition(7), lab.repartition(3), voc, epochs=2, lr=1.0
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_trained_model_separates_planted_classes(spark):
+    _, _, _, docs, lab, voc = _fixture(spark)
+    w = fit_linear_classifier(docs, lab, voc, epochs=8, lr=4.0)
+    weights = {r.token: r.weight for r in w.collect()}
+    assert weights["research"] > 0 > weights["click"]
+    assert weights["absent"] == 0.0  # never observed => never updated
+    # feeding the trained table into the scorer separates the classes
+    scored = {
+        r.id: r.score
+        for r in linear_quality_classifier(
+            docs, w.selectExpr("token", "weight")
+        ).collect()
+    }
+    assert min(scored[0], scored[1], scored[4]) > max(scored[2], scored[3])
+
+
+def test_feature_table_and_validation(spark):
+    _, _, _, docs, lab, voc = _fixture(spark)
+    feats = {
+        (r.id, r.token): r.c
+        for r in token_count_features(docs, voc).collect()
+    }
+    assert feats[(1, "research")] == 2 and feats[(2, "click")] == 2
+    assert (5, "research") not in feats  # empty doc contributes nothing
+    with pytest.raises(ValueError):
+        fit_linear_classifier(docs, lab, voc, epochs=0)
+    with pytest.raises(ValueError):
+        fit_linear_classifier(docs, lab.where("y > 5"), voc)
