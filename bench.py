@@ -198,9 +198,12 @@ def main() -> None:
             "embedding_neardup_lsh",
             "embedding_neardup_ivf",
             "doc_contamination",
-            # round-5 additions: span-level substring dedup + PQ ANN
+            # round-5 additions: span-level substring dedup + PQ ANN,
+            # the composed curation chain, and classifier training
             "doc_dup_spans",
             "ann_topk_pq",
+            "corpus_curate",
+            "quality_train_weights",
         ):
             fn = em.queries()[name]
             timed(name, lambda fn=fn: fn(spark, sf_dir).count())
