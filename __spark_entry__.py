@@ -38,6 +38,7 @@ from neo4j_graphrag_python_spark.operators.extractor import (
     regex_extractor,
 )
 from neo4j_graphrag_python_spark.operators.splitter import split_fixed_size
+from neo4j_graphrag_python_spark.operators.lm import lm_perplexity_sql
 from neo4j_graphrag_python_spark.operators.training import unrolled_training_sql
 from neo4j_graphrag_python_spark.plans.pipeline import run_kg_pipeline, triples_view
 from neo4j_graphrag_python_spark.schema import demo_schema
@@ -1449,6 +1450,21 @@ def q_quality_train_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return w.select("token", F.round("weight", 6).alias("weight"))
 
 
+def q_doc_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM perplexity scoring (operators/lm.py): train the add-k
+    smoothed LM on the corpus, score every doc by avg bigram
+    log-probability — scaled-long exact, so the self-scoring run is
+    value-pinned against the SQL replica."""
+    from neo4j_graphrag_python_spark.operators.lm import (
+        score_perplexity,
+        train_bigram_lm,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    big, ctx, vocab_size = train_bigram_lm(docs)
+    return score_perplexity(docs, big, ctx, vocab_size, k=1.0)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_documents": q_kg_documents,
@@ -1495,6 +1511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_temperature_mix": q_doc_temperature_mix,
         "corpus_curate": q_corpus_curate,
         "quality_train_weights": q_quality_train_weights,
+        "doc_lm_perplexity": q_doc_lm_perplexity,
     }
 
 
@@ -2046,6 +2063,7 @@ WHERE CAST(('0x' || substr(md5(CAST(sv.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
       / 4294967296.0 < r.rate
 """
         ),
+        "doc_lm_perplexity": lm_perplexity_sql(k=1.0),
         "quality_train_weights": unrolled_training_sql(
             "v0(token) AS (VALUES "
             + ", ".join(f"('{t}')" for t in TRAIN_VOCAB)
