@@ -204,6 +204,7 @@ def main() -> None:
             "ann_topk_pq",
             "corpus_curate",
             "quality_train_weights",
+            "doc_lm_perplexity",
         ):
             fn = em.queries()[name]
             timed(name, lambda fn=fn: fn(spark, sf_dir).count())
