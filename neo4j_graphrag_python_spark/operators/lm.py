@@ -123,11 +123,22 @@ def score_perplexity(
             ).alias("logp6"),
         )
     )
+    # the mean is rounded to 1e-6 **in integer arithmetic**:
+    # avg6 = sign(s)·⌊(2·|s| + n) / (2n)⌋ is round-half-away-from-zero of
+    # s/n on LONGs.  A float `round(sum/(n·1e6), 6)` here is a trap the
+    # property test caught: the mean can land exactly on a 5e-7 boundary
+    # (e.g. sum6=−2690946, n=4 → −0.6727365) where Spark (HALF_UP),
+    # Python (banker's) and DuckDB (double ulp) disagree — integer
+    # division has no boundary.
+    avg6 = F.expr(
+        "CASE WHEN count(logp6) > 0 THEN "
+        "CAST(signum(sum(logp6)) AS BIGINT) * "
+        "((2 * abs(sum(logp6)) + count(logp6)) div (2 * count(logp6))) "
+        "END"  # `div` = integral division on LONGs, no double precision
+    )
     return joined.groupBy("id").agg(
         F.count("logp6").cast("long").alias("n_bigrams"),
-        F.round(
-            F.sum("logp6") / (F.count("logp6") * F.lit(float(_SCALE))), 6
-        ).alias("avg_logp"),
+        (avg6 / F.lit(float(_SCALE))).alias("avg_logp"),
     )
 
 
@@ -171,8 +182,12 @@ SELECT d.{id_col} AS id,
        s.avg_logp
 FROM {docs_table} d
 LEFT JOIN (
+  -- integer round-half-away-from-zero of sum/n (see score_perplexity:
+  -- a float round() here hits 5e-7 boundary disagreements)
   SELECT id, count(*) AS n,
-         round(SUM(logp6) / (count(*) * 1000000.0), 6) AS avg_logp
+         sign(SUM(logp6))
+           * ((2 * abs(SUM(logp6)) + count(*)) // (2 * count(*)))
+           / 1000000.0 AS avg_logp
   FROM scored GROUP BY id
 ) s ON s.id = d.{id_col}
 """

@@ -14,6 +14,11 @@ from neo4j_graphrag_python_spark.operators.lm import (
 SCALE = 1_000_000
 
 
+def _rha(x):
+    # round half away from zero (Spark/DuckDB double-round convention)
+    return int(math.floor(abs(x) + 0.5)) * (1 if x >= 0 else -1)
+
+
 def _straight_line(train_rows, score_rows, k=1.0):
     def toks(t):
         t = t.strip().lower()
@@ -37,8 +42,11 @@ def _straight_line(train_rows, score_rows, k=1.0):
         s = 0
         for a, b in pairs:
             p = (big.get((a, b), 0) + k) / (ctx.get(a, 0) + k * V)
-            s += round(math.log(p) * SCALE)
-        out[doc_id] = (len(pairs), round(s / (len(pairs) * SCALE), 6))
+            s += _rha(math.log(p) * SCALE)
+        n = len(pairs)
+        sign = 1 if s >= 0 else -1
+        avg6 = sign * ((2 * abs(s) + n) // (2 * n))
+        out[doc_id] = (n, avg6 / SCALE)
     return out
 
 
@@ -97,3 +105,28 @@ def test_validation(spark):
         score_perplexity(score, big, ctx, 0)
     with pytest.raises(ValueError):
         score_perplexity(score, big, ctx, V, k=0.0)
+
+
+# --- property-based: random corpora vs the straight-line replica --------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_words = st.sampled_from(["aa", "bb", "cc", "dd", "ee", "zz"])
+_doc = st.lists(_words, min_size=0, max_size=12).map(" ".join)
+_corpus = st.lists(_doc, min_size=1, max_size=8)
+
+
+@settings(max_examples=8, deadline=None)
+@given(corpus=_corpus, k=st.sampled_from([0.25, 1.0, 2.0]))
+def test_property_matches_replica(spark, corpus, k):
+    rows = list(enumerate(corpus))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    big, ctx, V = train_bigram_lm(df)
+    if V == 0:
+        return  # all-empty corpus: nothing to score
+    got = {
+        r.id: (r.n_bigrams, r.avg_logp)
+        for r in score_perplexity(df, big, ctx, V, k=k).collect()
+    }
+    assert got == _straight_line(rows, rows, k=k)

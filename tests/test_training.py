@@ -18,6 +18,15 @@ from neo4j_graphrag_python_spark.operators.training import (
 SCALE = 1_000_000
 
 
+def _rha(x):
+    """round half AWAY FROM ZERO — Spark and DuckDB both round double
+    halves away from zero (verified by probe: round(-0.5) = -1 in both),
+    while Python's round() is banker's; replicas must match the engines."""
+    import math
+
+    return int(math.floor(abs(x) + 0.5)) * (1 if x >= 0 else -1)
+
+
 def _straight_line(rows, labels, vocab, epochs, lr, bias):
     """Pure-Python replica of the scaled-long recurrence."""
     counts = {}
@@ -36,13 +45,13 @@ def _straight_line(rows, labels, vocab, epochs, lr, bias):
         resid = {}
         for d, y in labels.items():
             logit = dots.get(d, 0) / SCALE + bias
-            p6 = round(SCALE / (1 + math.exp(-logit)))
+            p6 = _rha(SCALE / (1 + math.exp(-logit)))
             resid[d] = p6 - y * SCALE
         g6 = {t: 0 for t in vocab}
         for (d, tok), c in counts.items():
             if d in resid:
                 g6[tok] += resid[d] * c
-        w6 = {t: round(w6[t] - lr * g6[t] / n) for t in vocab}
+        w6 = {t: _rha(w6[t] - lr * g6[t] / n) for t in vocab}
     return {t: w6[t] / SCALE for t in vocab}
 
 
@@ -112,3 +121,34 @@ def test_feature_table_and_validation(spark):
         fit_linear_classifier(docs, lab, voc, epochs=0)
     with pytest.raises(ValueError):
         fit_linear_classifier(docs, lab.where("y > 5"), voc)
+
+
+# --- property-based: random corpora/labels vs the replica ---------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_words = st.sampled_from(["research", "click", "spam", "method", "data"])
+_doc = st.lists(_words, min_size=0, max_size=8).map(" ".join)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    docs=st.lists(_doc, min_size=1, max_size=6),
+    ybits=st.lists(st.integers(0, 1), min_size=6, max_size=6),
+    lr=st.sampled_from([0.5, 2.0]),
+)
+def test_property_matches_replica(spark, docs, ybits, lr):
+    rows = list(enumerate(docs))
+    labels = {i: ybits[i] for i in range(len(docs))}
+    vocab = ["research", "click", "spam", "method", "data"]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    lab = spark.createDataFrame(list(labels.items()), ["doc_id", "y"])
+    voc = spark.createDataFrame([(t,) for t in vocab], ["token"])
+    got = {
+        r.token: r.weight
+        for r in fit_linear_classifier(
+            df, lab, voc, epochs=2, lr=lr, bias=-0.2
+        ).collect()
+    }
+    assert got == _straight_line(rows, labels, set(vocab), 2, lr, -0.2)
