@@ -1200,7 +1200,7 @@ def q_embedding_neardup_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     p_noise(0.4) ≈ 0.52 > 1% abandons sign-LSH, and at sf0.01's corpus
     size (n·dim ≤ broadcast tier) it routes to the blocked-GEMM exact
     path — whose output is BIT-IDENTICAL to the all-pairs oracle by
-    construction (the GEMM only prunes with a 1e-9 margin; survivors are
+    construction (the GEMM only prunes with a 1e-6 margin — 1e-9 dropped boundary pairs at sf3; survivors are
     rescored by the canonical fold-order cosine).  The oracle is
     therefore the exact all-pairs SQL with no fixture and no recall
     caveat — the dispatcher's routing decision itself is under the hash

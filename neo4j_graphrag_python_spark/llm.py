@@ -99,6 +99,14 @@ def _pooled_connection(
             else http.client.HTTPConnection
         )
         conn = pool[key] = cls(host, port, timeout=timeout)
+    else:
+        # two clients with different timeouts can share a pooled socket
+        # (the key is endpoint-only): re-apply the CALLER's timeout to
+        # both the connection (governs future connects) and the live
+        # socket (governs this request's reads) on every checkout
+        conn.timeout = timeout
+        if conn.sock is not None:
+            conn.sock.settimeout(timeout)
     return conn
 
 #: Prefix marking a per-prompt transport failure captured by

@@ -970,7 +970,7 @@ def embedding_neardup(
         n = embeddings.count()
         if n * dim <= broadcast_cells:
             for k in ("num_centroids", "nprobe", "sample_n", "centroids",
-                      "seed", "broadcast_rescore"):
+                      "seed", "broadcast_rescore", "rescore"):
                 kwargs.pop(k, None)
             return embedding_neardup_blocked_exact(
                 embeddings,
@@ -981,9 +981,13 @@ def embedding_neardup(
             )
         kwargs.pop("block_rows", None)
         # beyond the broadcast tier the rescore sides can't broadcast by
-        # definition — per-cell GEMM is the only coherent rescore there
+        # definition — per-cell GEMM is the only coherent rescore there,
+        # and the final canonical rescore must SHUFFLE-join the
+        # output-sized survivors rather than broadcast the full
+        # (id, vector) projection (which is exactly what doesn't fit in
+        # this tier) — so broadcast_rescore is forced off, not defaulted
         kwargs.setdefault("rescore", "cells")
-        kwargs.pop("broadcast_rescore", None)
+        kwargs["broadcast_rescore"] = False
         return embedding_neardup_ivf(
             embeddings,
             threshold=threshold,
@@ -991,7 +995,11 @@ def embedding_neardup(
             vec_col=vec_col,
             **kwargs,
         )
-    for k in ("num_centroids", "nprobe", "sample_n", "centroids"):
+    # strip every non-LSH kwarg so a caller's IVF/GEMM tuning knobs don't
+    # make valid kwargs threshold-dependent (seed is shared: LSH takes it)
+    for k in ("num_centroids", "nprobe", "sample_n", "centroids",
+              "block_rows", "rescore", "broadcast_rescore",
+              "broadcast_cells"):
         kwargs.pop(k, None)
     return embedding_neardup_lsh(
         embeddings,

@@ -118,8 +118,12 @@ def pack_sequence_coords(
     width = max(1, -(-span // n_buckets))  # ceil
     lo = int(bounds["lo"])
 
+    # integer `div`, not float `/`: a double quotient can round UP across
+    # an integer boundary for very large id spans (2^53+ mantissa loss),
+    # silently assigning a doc to the wrong bucket and corrupting the
+    # prefix sum — `div` is exact for any long range
     bucketed = tok.withColumn(
-        "bucket", ((F.col("doc_id") - F.lit(lo)) / F.lit(width)).cast("long")
+        "bucket", F.expr(f"(doc_id - {lo}L) div {width}L")
     )
 
     # phase 1: per-bucket totals (map-side combine), cumsum over the

@@ -119,14 +119,27 @@ def merge_upsert(
         write_catalog_table(delta, table, "create_or_replace", file_format)
         return
     if catalog_supports_merge(spark, table):
+        from pyspark.errors import AnalysisException, UnsupportedOperationException
+
         delta.createOrReplaceTempView("_merge_delta")
         on = " AND ".join(f"t.{c} = s.{c}" for c in key_cols)
-        spark.sql(
-            f"MERGE INTO {table} t USING _merge_delta s ON {on} "
-            "WHEN MATCHED THEN UPDATE SET * "
-            "WHEN NOT MATCHED THEN INSERT *"
-        )
-        return
+        try:
+            spark.sql(
+                f"MERGE INTO {table} t USING _merge_delta s ON {on} "
+                "WHEN MATCHED THEN UPDATE SET * "
+                "WHEN NOT MATCHED THEN INSERT *"
+            )
+            return
+        except (AnalysisException, UnsupportedOperationException):
+            # the extension probe is session-wide, not per-table: with
+            # Iceberg/Delta extensions LOADED but ``table`` living in a
+            # plain V1 session catalog (parquet), MERGE fails at
+            # analysis (AnalysisException on the v2-write check, or
+            # UnsupportedOperationException "MERGE INTO TABLE is not
+            # supported temporarily" on stock Spark) — fall through to
+            # the read-antijoin rewrite instead of surfacing an error
+            # the fallback exists to absorb
+            pass
     current = spark.read.table(table)
     keys = [k for k in key_cols]
     # keep current rows whose key is NOT in the delta, then add the delta

@@ -148,3 +148,26 @@ def test_streaming_catalog_merge_idempotent(spark, fresh_db, tmp_path):
     # node identity holds: ids unique
     nd = spark.read.table(f"{tgt}_nodes")
     assert nd.select("id").distinct().count() == n1
+
+
+def test_merge_falls_back_when_table_is_v1_despite_extensions(
+    spark, fresh_db, monkeypatch
+):
+    """The extension probe is session-wide: Iceberg/Delta extensions can
+    be loaded while the TARGET table is a plain V1 parquet table, where
+    MERGE INTO fails at analysis.  The AnalysisException must fall
+    through to the read-antijoin fallback, not surface."""
+    import neo4j_graphrag_python_spark.sources.catalog as cat
+
+    t = f"{fresh_db}.nodes_v1merge"
+    merge_upsert(spark, _nodes(spark, range(4)), t, ("id",))
+    monkeypatch.setattr(cat, "catalog_supports_merge", lambda *a: True)
+    delta = spark.createDataFrame(
+        [(2, "Person", "renamed"), (9, "Person", "name-9")],
+        ["id", "label", "name"],
+    )
+    merge_upsert(spark, delta, t, ("id",))
+    got = {r.id: r.name for r in spark.read.table(t).collect()}
+    assert got == {
+        0: "name-0", 1: "name-1", 2: "renamed", 3: "name-3", 9: "name-9"
+    }

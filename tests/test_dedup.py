@@ -825,3 +825,26 @@ def test_embedding_neardup_paths_handle_empty_corpus(spark) -> None:
     )
     assert embedding_neardup(empty, dim=4, threshold=0.4).count() == 0
     assert embedding_neardup(empty, dim=4, threshold=0.95).count() == 0
+
+
+def test_dispatcher_kwargs_not_threshold_dependent(spark) -> None:
+    """A caller may pass the full tuning-knob surface regardless of
+    which tier the threshold routes to — every route strips the kwargs
+    its target doesn't take instead of raising TypeError."""
+    from neo4j_graphrag_python_spark.operators.dedup import embedding_neardup
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    dim = len(emb.select("embedding").head()["embedding"])
+    knobs = dict(
+        num_centroids=8, nprobe=2, sample_n=256, seed=1,
+        block_rows=2048, rescore="pairs", broadcast_rescore=True,
+        broadcast_cells=50_000_000,
+    )
+    # high threshold → LSH route must tolerate IVF/GEMM knobs
+    assert embedding_neardup(emb, dim=dim, threshold=0.95, **knobs).count() >= 0
+    # moderate threshold, broadcast tier → blocked-exact route ditto
+    assert embedding_neardup(emb, dim=dim, threshold=0.4, **knobs).count() >= 0
+    # beyond-broadcast tier: rescore must be forced to the cells shape
+    # with a shuffle-join rescore (broadcast_rescore pinned False)
+    small = dict(knobs, broadcast_cells=1)
+    assert embedding_neardup(emb, dim=dim, threshold=0.4, **small).count() >= 0

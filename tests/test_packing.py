@@ -160,3 +160,32 @@ def test_bins_never_overflow_and_oversize_doc_is_capped(spark) -> None:
     assert all(v <= 64 for v in fills.values()), fills
     # empty doc lands in a bin without advancing fill
     assert out[3]["eff_tokens"] == 0
+
+
+def test_coords_exact_bucketing_at_huge_id_magnitudes(spark) -> None:
+    """Bucket assignment must use integer `div`, not float division: at
+    doc_id magnitudes past 2^53 a double quotient loses mantissa bits
+    and can round UP across an integer boundary, putting a doc in the
+    wrong bucket and corrupting the prefix sum.  Straight-line expected
+    coords (and n_buckets invariance) pin the exact behavior."""
+    base = 2**53
+    step = 4_099_990_001  # odd, huge span → width >> 2^32
+    rows = [
+        (base + i * step, f"{'tok ' * (i % 7)}".strip(), "s")
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    exp = _expected_coords(rows, 16)
+    for nb in (1, 7, 33):
+        got = {
+            r["doc_id"]: (
+                r["n_tokens"],
+                r["start_offset"],
+                r["first_seq"],
+                r["offset_in_first"],
+                r["last_seq"],
+                r["n_seqs"],
+            )
+            for r in pack_sequence_coords(df, 16, n_buckets=nb).collect()
+        }
+        assert got == exp
