@@ -195,12 +195,13 @@ def main() -> None:
             # data-pipeline operators (VERDICT r3 #4): the dedup/curation
             # scale story measured, not just plan-shaped
             "dedup_minhash_pairs",
-            "embedding_neardup_lsh",
             "embedding_neardup_ivf",
             "doc_contamination",
             # round-5 additions: span-level substring dedup + PQ ANN,
             # the composed curation chain, and classifier training
             "doc_dup_spans",
+            # round-6: the span-removal APPLY stage (rewrites the corpus)
+            "doc_dedup_spans_applied",
             "ann_topk_pq",
             "corpus_curate",
             "quality_train_weights",
@@ -208,6 +209,24 @@ def main() -> None:
         ):
             fn = em.queries()[name]
             timed(name, lambda fn=fn: fn(spark, sf_dir).count())
+        # embedding LSH over the sf's own embeddings table at its designed
+        # theta=0.8 regime — q_embedding_neardup_lsh reads a FIXED planted
+        # fixture (its correctness oracle), which would make this row
+        # scale-independent
+        from neo4j_graphrag_python_spark.operators.dedup import (
+            embedding_neardup_lsh,
+        )
+
+        def _lsh_sf():
+            emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+            dim = len(emb.select("embedding").head()["embedding"])
+            return embedding_neardup_lsh(
+                emb, dim=dim, threshold=em.ELSH_THRESHOLD,
+                target_recall=em.ELSH_TARGET_RECALL,
+            ).count()
+
+        timed("embedding_neardup_lsh", _lsh_sf)
+
         # pii over the sf's own documents table — q_doc_pii_scrub reads a
         # FIXED 500-doc planted fixture (that's its correctness oracle),
         # which would make this row scale-independent

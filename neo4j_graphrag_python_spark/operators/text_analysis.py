@@ -501,3 +501,153 @@ def dup_span_stats(
             6,
         ).alias("dup_frac"),
     )
+
+
+def dedup_spans_apply(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 50,
+    policy: str = "keep_first",
+) -> DataFrame:
+    """Exact-substring span REMOVAL (Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better", §4.1 semantics): cut
+    every ``window``-token span whose exact token sequence occurs at more
+    than one (doc, position) corpus-wide, merging adjacent/overlapping
+    removed windows into maximal spans, and rewrite the corpus.  This is
+    the apply stage of :func:`dup_span_stats` — the stats count duplicated
+    windows; this operator cuts them.
+
+    → (id, n_windows_removed, n_spans_removed, n_tokens_removed,
+    new_text), one row per input doc.  Docs with nothing to cut pass
+    their text through BYTE-EXACT (the rewrite projection is skipped for
+    them, so tabs/newlines/multi-space runs survive untouched).
+
+    Semantics (all deterministic, replicated by the SQL oracle):
+
+      * A *piece* is one ``\\S+\\s*`` match — a token plus its trailing
+        whitespace; ``lead-whitespace || concat(pieces)`` is the original
+        text byte-for-byte.  Span identity is the ORIGINAL-CASE tokens
+        joined by a single space, i.e. token-granular exactness: two
+        spans differing only in internal whitespace are duplicates, and
+        the cut removes each occurrence's own original bytes (Lee et al.
+        compare raw bytes of tokenized text; this is the same contract at
+        token granularity).
+      * ``policy="keep_first"`` (default): per span hash, the
+        lexicographically minimal (id, pos) occurrence is the keeper and
+        survives; every other occurrence is cut.  ``policy="drop_all"``
+        cuts every occurrence.  Keeper status is per-SPAN: a keeper
+        occurrence can still lose bytes to an overlapping *different*
+        duplicated span (same property as the reference algorithm).
+      * Cutting a window removes its pieces wholesale — the whitespace
+        run INSIDE and TRAILING the cut span goes with it; the whitespace
+        preceding the span (the previous kept piece's trailer) stays.
+
+    Shape at 100 TB: the detection pass is exactly dup_span_stats' —
+    spans are reduced to 8-byte ``xxhash64`` inside one projection, so
+    the explode emits (id, int, long) rows and every detection exchange
+    carries ~20-byte rows; the corpus text is never shuffled to detect.
+    The per-hash keeper is ``min(struct(id, pos))`` on the same map-side
+    combinable groupBy that counts occurrences.  Removal lists collapse
+    to one (id, sorted int array) row per AFFECTED doc, and the rewrite
+    is a single left join of the source against that map (AQE broadcasts
+    it when the dup rate is low — the common case; at worst the text
+    shuffles ONCE, the floor for any corpus rewrite) followed by one
+    codegen-side projection: an O(|removed|) HOF interval-merge, then an
+    O(n_tokens) slice-and-concat fold — no Python, no quadratic
+    membership scans.  64-bit hash collisions admit a false cut at
+    ~n²/2⁶⁵ windows corpus-wide (see dup_span_stats); the contract
+    oracle checks the string-exact answer at test scale.
+    """
+    w = int(window)
+    if w < 1:
+        raise ValueError("window must be >= 1")
+    if policy not in ("keep_first", "drop_all"):
+        raise ValueError("policy must be 'keep_first' or 'drop_all'")
+    from neo4j_graphrag_python_spark.operators.dedup import widen_for_compute
+
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    pieces = F.expr(
+        f"regexp_extract_all(coalesce({text_col}, ''), '\\\\S+\\\\s*', 0)"
+    )
+    toks = F.transform(pieces, lambda p: F.regexp_replace(p, r"\s+$", ""))
+    span_hashes = F.transform(_ngram_array(toks, w), lambda g: F.xxhash64(g))
+
+    base = widen_for_compute(df)
+    wins = base.select(
+        F.col(id_col).alias("id"), span_hashes.alias("hs")
+    ).select("id", F.posexplode("hs").alias("pos", "h"))
+    # two consumers (corpus count+keeper, and the join back): materialize
+    # the narrow (id, int, long) rows once — text is scanned/hashed once
+    wins = wins.localCheckpoint(eager=False)
+    per_hash = wins.groupBy("h").agg(
+        F.count("*").alias("c"),
+        F.min(F.struct("id", "pos")).alias("keeper"),
+    )
+    removed = wins.join(per_hash, "h").where(F.col("c") > 1)
+    if policy == "keep_first":
+        removed = removed.where(
+            (F.col("id") != F.col("keeper.id"))
+            | (F.col("pos") != F.col("keeper.pos"))
+        )
+    rem_per_doc = removed.groupBy("id").agg(
+        F.sort_array(F.collect_list("pos")).alias("rps")
+    )
+
+    joined = df.select(
+        F.col(id_col).alias("id"), text.alias("_text")
+    ).join(rem_per_doc, "id", "left")
+
+    # merge sorted window starts into maximal [s, e) token intervals —
+    # O(|removed|) fold; adjacency (r == last.e) merges too, the cut
+    # region is contiguous either way
+    merged = F.expr(
+        "aggregate("
+        "  rps,"
+        "  cast(array() as array<struct<s:int,e:int>>),"
+        "  (acc, r) -> case"
+        "    when size(acc) > 0 and r <= element_at(acc, -1).e"
+        "    then concat(slice(acc, 1, size(acc) - 1),"
+        "                array(named_struct("
+        "                  's', element_at(acc, -1).s,"
+        f"                 'e', greatest(element_at(acc, -1).e, r + {w}))))"
+        f"   else concat(acc, array(named_struct('s', r, 'e', r + {w})))"
+        "  end)"
+    )
+    joined = joined.withColumn("_merged", merged).withColumn(
+        "_pieces",
+        F.when(
+            F.col("rps").isNotNull(),
+            F.expr("regexp_extract_all(_text, '\\\\S+\\\\s*', 0)"),
+        ),
+    )
+    # assembly: every kept piece appears in exactly one slice ⇒ O(n_tokens)
+    new_text = F.when(F.col("rps").isNull(), F.col("_text")).otherwise(
+        F.expr(
+            "aggregate("
+            "  _merged,"
+            "  named_struct('prev', 0,"
+            "               'acc', regexp_extract(_text, '^\\\\s*', 0)),"
+            "  (st, iv) -> named_struct("
+            "    'prev', iv.e,"
+            "    'acc', concat(st.acc, array_join("
+            "      slice(_pieces, st.prev + 1, iv.s - st.prev), ''))),"
+            "  st -> concat(st.acc, array_join("
+            "    slice(_pieces, st.prev + 1, size(_pieces) - st.prev), '')))"
+        )
+    )
+    n_tok_removed = F.when(F.col("rps").isNull(), F.lit(0)).otherwise(
+        F.expr("aggregate(_merged, 0, (a, iv) -> a + (iv.e - iv.s))")
+    )
+    # size(NULL) is -1 (non-ANSI legacy), not NULL — gate on isNull, not
+    # coalesce, so untouched docs report 0
+    def _sz(c: str) -> Column:
+        return F.when(F.col(c).isNull(), F.lit(0)).otherwise(F.size(c))
+
+    return joined.select(
+        "id",
+        _sz("rps").cast("long").alias("n_windows_removed"),
+        _sz("_merged").cast("long").alias("n_spans_removed"),
+        n_tok_removed.cast("long").alias("n_tokens_removed"),
+        new_text.alias("new_text"),
+    )

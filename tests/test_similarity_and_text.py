@@ -622,6 +622,149 @@ def test_dup_span_stats_matches_bruteforce(spark) -> None:
         assert out[i]["dup_frac"] == expect
 
 
+def _spans_apply_replica(rows, w, policy="keep_first"):
+    """Straight-line pure-Python replica of dedup_spans_apply: piece
+    tokenization, corpus-wide span occurrence lists, keep-first/drop-all
+    removal, interval merge, byte-exact reassembly."""
+    import re
+
+    occ: dict = {}
+    pieces_by = {}
+    for i, t in rows:
+        t = t or ""
+        ps = re.findall(r"\S+\s*", t)
+        pieces_by[i] = (re.match(r"^\s*", t).group(0), ps, t)
+        toks = [re.sub(r"\s+$", "", p) for p in ps]
+        for j in range(len(toks) - w + 1):
+            occ.setdefault(" ".join(toks[j : j + w]), []).append((i, j))
+    removed: dict = {}
+    for lst in occ.values():
+        if len(lst) > 1:
+            keep = min(lst) if policy == "keep_first" else None
+            for o in lst:
+                if o != keep:
+                    removed.setdefault(o[0], set()).add(o[1])
+    out = {}
+    for i, _ in rows:
+        lead, ps, t = pieces_by[i]
+        rps = sorted(removed.get(i, ()))
+        if not rps:
+            out[i] = (0, 0, 0, t)
+            continue
+        ivs = []
+        for r in rps:
+            if ivs and r <= ivs[-1][1]:
+                ivs[-1] = (ivs[-1][0], max(ivs[-1][1], r + w))
+            else:
+                ivs.append((r, r + w))
+        cut = {k for s, e in ivs for k in range(s, e)}
+        new = lead + "".join(p for j, p in enumerate(ps) if j not in cut)
+        out[i] = (len(rps), len(ivs), sum(e - s for s, e in ivs), new)
+    return out
+
+
+def test_dedup_spans_apply_planted_byte_exact(spark) -> None:
+    """Planted duplicates: byte-exact rewritten text, keeper survival,
+    interval merging, and pass-through docs keeping messy whitespace."""
+    from neo4j_graphrag_python_spark.operators.text_analysis import (
+        dedup_spans_apply,
+    )
+
+    rows = [
+        (1, "A B C D E"),
+        # shares "A B C" (pos 1) and "B C D" (pos 2) with doc 1 — doc 1
+        # is the keeper for both; the two windows merge to one maximal
+        # span cutting tokens 1..4 with their ORIGINAL whitespace
+        (2, "Z\tA  B\nC D  Q\n"),
+        (3, "  lead\n\nkept   intact\t"),  # no dup: byte-exact pass-through
+        (4, "x y"),  # shorter than the window
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["id"]: r for r in dedup_spans_apply(df, window=3).collect()}
+    assert out[1]["new_text"] == "A B C D E"  # keeper: untouched
+    assert out[1]["n_windows_removed"] == 0
+    assert out[2]["new_text"] == "Z\tQ\n"
+    assert (
+        out[2]["n_windows_removed"] == 2
+        and out[2]["n_spans_removed"] == 1
+        and out[2]["n_tokens_removed"] == 4
+    )
+    assert out[3]["new_text"] == "  lead\n\nkept   intact\t"
+    assert out[4]["new_text"] == "x y" and out[4]["n_windows_removed"] == 0
+
+    # drop_all: the keeper doc is cut too ("A B C" pos 0 + "B C D" pos 1
+    # merge to [0, 4) — only the unique tail token "E" survives)
+    out = {
+        r["id"]: r
+        for r in dedup_spans_apply(df, window=3, policy="drop_all").collect()
+    }
+    assert out[1]["new_text"] == "E"
+    assert out[1]["n_windows_removed"] == 2 and out[1]["n_tokens_removed"] == 4
+    assert out[2]["new_text"] == "Z\tQ\n"
+
+    # the replica agrees on the planted case end-to-end
+    for pol in ("keep_first", "drop_all"):
+        exp = _spans_apply_replica(rows, 3, pol)
+        got = {
+            r["id"]: (
+                r["n_windows_removed"],
+                r["n_spans_removed"],
+                r["n_tokens_removed"],
+                r["new_text"],
+            )
+            for r in dedup_spans_apply(df, window=3, policy=pol).collect()
+        }
+        assert got == exp
+
+
+def test_dedup_spans_apply_matches_bruteforce(spark) -> None:
+    """Randomized byte-exact cross-check vs the pure-Python replica —
+    messy whitespace, same-doc repeats, empty and sub-window docs."""
+    import random as _random
+
+    from neo4j_graphrag_python_spark.operators.text_analysis import (
+        dedup_spans_apply,
+    )
+
+    rng = _random.Random(13)
+    vocab = ["aa", "bb", "cc", "dd", "ee"]
+    seps = [" ", "  ", "\t", "\n", " \n "]
+    rows = []
+    for i in range(60):
+        n = rng.randint(0, 14)
+        t = rng.choice(["", " ", "\n"]) + "".join(
+            rng.choice(vocab) + rng.choice(seps) for _ in range(n)
+        )
+        rows.append((i, t))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    for w, pol in ((3, "keep_first"), (3, "drop_all"), (5, "keep_first")):
+        exp = _spans_apply_replica(rows, w, pol)
+        got = {
+            r["id"]: (
+                r["n_windows_removed"],
+                r["n_spans_removed"],
+                r["n_tokens_removed"],
+                r["new_text"],
+            )
+            for r in dedup_spans_apply(df, window=w, policy=pol).collect()
+        }
+        assert got == exp, (w, pol)
+
+
+def test_dedup_spans_apply_validates_args(spark) -> None:
+    import pytest as _pytest
+
+    from neo4j_graphrag_python_spark.operators.text_analysis import (
+        dedup_spans_apply,
+    )
+
+    df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    with _pytest.raises(ValueError):
+        dedup_spans_apply(df, window=0)
+    with _pytest.raises(ValueError):
+        dedup_spans_apply(df, policy="nope")
+
+
 def test_knn_join_matches_numpy_all_pairs(spark) -> None:
     """knn_join (tiled GEMM candidates + windowed rounded ranking) must
     equal the all-pairs numpy reference exactly — run with 64-row tiles
