@@ -200,6 +200,14 @@ KMEANS_C, KMEANS_NPROBE, KMEANS_SAMPLE_N = 12, 2, 2048
 # the sf0.01 vectors (exact top-10 survives the ADC top-100 cut), so the
 # oracle is the TRUE brute-force SQL — like embedding_neardup_ivf
 PQ_M, PQ_KS, PQ_RESCORE = 16, 16, 100
+# IVF-PQ: coarse cells × residual-PQ codebooks.  RESCORE=200 is chosen ≥
+# the probed-cell population at sf0.01 (asserted at fixture build), which
+# makes the contract value-pinned independently of ADC float bits: the
+# output is the exact cosine top-k over the probed cells, and what the
+# hash check pins is the COMPOSITION (normalize → coarse assign → probe →
+# cell-restricted scan → pushed-In rescore).  ADC-cut bit-semantics are
+# pinned separately by ann_topk_pq; ADC recall by the recall-curve script.
+IVFPQ_C, IVFPQ_NPROBE, IVFPQ_M, IVFPQ_KS, IVFPQ_RESCORE = 12, 2, 16, 16, 200
 # sign-LSH's DESIGNED regime is high-threshold (collision prob on noise
 # pairs falls off exponentially with m only when theta is high); theta=0.4
 # is where the builder's own p_noise model proves it quadratic (sf3
@@ -399,6 +407,87 @@ try:
     KMEANS_FIXTURE = _ensure_kmeans_fixture()
 except Exception:  # pragma: no cover - testdata may be absent in CI
     KMEANS_FIXTURE = str(tr.FIXTURE_ROOT / "sf0.01" / "ann_topk_kmeans.parquet")
+
+
+def _ensure_ivfpq_fixture() -> str:
+    """Expected ann_topk_ivfpq output at sf0.01, computed offline.
+
+    Follows the k-means-fixture pattern: the coarse codebook FIT is the
+    shared seeded driver function (fit_kmeans_centroids — bit-stable);
+    what this replicates INDEPENDENTLY is the distributed machinery the
+    query runs: the unit-normalization, the first-wins argmax cell
+    assignment (replicated with fold-order dots; the query's fused Arrow
+    engine computes the same argmax via numpy GEMM — the two can differ
+    only on exact floating ties between cells, measure-zero, and the
+    sql-engine equality test pins the semantics), the driver probe
+    selection, and the rounded-cosine top-k over the probed cells.  The
+    PQ codes cannot
+    affect the output at this operating point — IVFPQ_RESCORE is
+    asserted ≥ the probed-cell population here, so the ADC ordering is
+    a no-op cut and the expected rows are exactly the cosine top-k of
+    the probed cells (the honest contract: the composition is pinned;
+    ADC bits are pinned by ann_topk_pq, ADC recall measured in
+    scripts/ann_recall_curve.py)."""
+    out = tr.FIXTURE_ROOT / "sf0.01" / "ann_topk_ivfpq.parquet"
+    if not out.exists():
+        import math
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from neo4j_graphrag_python_spark.operators.similarity import (
+            fit_kmeans_centroids,
+        )
+
+        vecs = _read_sf001_embeddings()
+        q = vecs[0]
+        sample = [vecs[i] for i in sorted(vecs)[:KMEANS_SAMPLE_N]]
+        centroids = fit_kmeans_centroids(sample, num_centroids=IVFPQ_C)
+
+        def unit(v):
+            n = math.sqrt(_fold_dot(v, v))
+            return [x / n for x in v] if n > 0 else list(v)
+
+        def cell(v) -> int:
+            vu = unit(v)
+            dots = [_fold_dot(vu, c) for c in centroids]
+            return dots.index(max(dots))  # first-wins, like array_position
+
+        qn = sum(x * x for x in q) ** 0.5 or 1.0
+        qu = [x / qn for x in q]
+        dq = [sum(a * b for a, b in zip(qu, c)) for c in centroids]
+        probes = set(
+            sorted(range(len(centroids)), key=lambda j: (-dq[j], j))[
+                :IVFPQ_NPROBE
+            ]
+        )
+        cands = [i for i, v in vecs.items() if cell(v) in probes]
+        if len(cands) > IVFPQ_RESCORE:  # pragma: no cover - data drift
+            raise RuntimeError(
+                f"IVFPQ_RESCORE {IVFPQ_RESCORE} < probed population "
+                f"{len(cands)}: the no-op-cut invariant broke"
+            )
+        scored = sorted(
+            ((i, _cos6(vecs[i], q)) for i in cands),
+            key=lambda t: (-t[1], t[0]),
+        )[:ANN_K]
+        out.parent.mkdir(parents=True, exist_ok=True)
+        pq.write_table(
+            pa.table(
+                {
+                    "id": pd_series_int64([s[0] for s in scored]),
+                    "score": [s[1] for s in scored],
+                }
+            ),
+            out,
+        )
+    return str(out)
+
+
+try:
+    IVFPQ_FIXTURE = _ensure_ivfpq_fixture()
+except Exception:  # pragma: no cover - testdata may be absent in CI
+    IVFPQ_FIXTURE = str(tr.FIXTURE_ROOT / "sf0.01" / "ann_topk_ivfpq.parquet")
 
 
 def _ensure_elsh_input_fixture() -> str:
@@ -1431,6 +1520,43 @@ def q_ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ top-k (Jégou et al. 2011 §IV) — the composed 10⁹-vector
+    rung: coarse k-means cells + residual product quantization.  The
+    scan reads only the probed cells' (id, bucket, codes) rows; the ADC
+    estimate is the exact query·centroid term plus the residual LUT
+    fold; the top-IVFPQ_RESCORE candidates are exact-rescored through a
+    pushed In filter.  Value-pinned against IVFPQ_FIXTURE (offline
+    replication of normalize → fold-dot cell assignment → probe →
+    cosine top-k; IVFPQ_RESCORE ≥ the probed population is ASSERTED at
+    fixture build, so the contract is independent of ADC float bits —
+    those are pinned by ann_topk_pq)."""
+    from neo4j_graphrag_python_spark.operators.similarity import (
+        build_ivfpq_index,
+        topk_ivfpq,
+    )
+
+    emb = _read(spark, sf_dir, "embeddings")
+    qv = emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+    coded, cents, books = build_ivfpq_index(
+        emb,
+        num_centroids=IVFPQ_C,
+        m=IVFPQ_M,
+        pq_centroids=IVFPQ_KS,
+        sample_n=KMEANS_SAMPLE_N,
+    )
+    return topk_ivfpq(
+        coded,
+        emb,
+        cents,
+        books,
+        qv,
+        k=ANN_K,
+        nprobe=IVFPQ_NPROBE,
+        rescore=IVFPQ_RESCORE,
+    )
+
+
 def q_doc_pack_coords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-and-chunk packing coordinates (two-phase distributed
     prefix sum — never a global single-reducer window); oracle is the
@@ -1600,6 +1726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_ivf": q_ann_topk_ivf,
         "ann_topk_kmeans": q_ann_topk_kmeans,
         "ann_topk_pq": q_ann_topk_pq,
+        "ann_topk_ivfpq": q_ann_topk_ivfpq,
         "doc_pack_coords": q_doc_pack_coords,
         "doc_pack_bins": q_doc_pack_bins,
         "doc_quality_classifier": q_doc_quality_classifier,
@@ -2244,6 +2371,9 @@ scored AS (
   FROM e, q WHERE e.vec_id <> 0
 )
 SELECT id, score FROM scored ORDER BY score DESC, id LIMIT 10
+""",
+        "ann_topk_ivfpq": f"""
+SELECT id, score FROM read_parquet('{IVFPQ_FIXTURE}')
 """,
         "ann_topk_bruteforce": """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -203,6 +203,7 @@ def main() -> None:
             # round-6: the span-removal APPLY stage (rewrites the corpus)
             "doc_dedup_spans_applied",
             "ann_topk_pq",
+            "ann_topk_ivfpq",
             "corpus_curate",
             "quality_train_weights",
             "doc_lm_perplexity",

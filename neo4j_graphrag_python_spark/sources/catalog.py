@@ -95,6 +95,7 @@ def merge_upsert(
     table: str,
     key_cols: tuple[str, ...],
     file_format: str = "parquet",
+    precedence: tuple[str, ...] = (),
 ) -> None:
     """Upsert ``delta`` into catalog table ``table`` keyed by ``key_cols``.
 
@@ -103,30 +104,55 @@ def merge_upsert(
     whose key exists are REPLACED by the delta row (last-write-wins, like
     the reference's ``SET n += props``); new keys are inserted.
 
+    ``precedence`` switches matched-row semantics to MIN-WINS: the delta
+    row replaces the stored row only when its precedence tuple is
+    strictly lower (lexicographic over the named columns, which must be
+    non-null).  Min is associative and commutative, so a feed split into
+    micro-batches converges to the same table REGARDLESS of trigger
+    size/arrival order, and a replayed batch is a no-op — the invariant
+    the incremental entity-resolution path builds on.
+
     On an ACID catalog (Iceberg/Delta) this issues one MERGE INTO —
     a distributed join against only the overlapping data files.  On the
-    plain session catalog it falls back to read → anti-join → union →
-    createOrReplace: correct but full-table-rewriting and single-writer;
-    fine for tests and small tables, and the production path is the
-    MERGE one.
+    plain session catalog it falls back to read → anti-join (or
+    min-of-union for precedence) → union → createOrReplace: correct but
+    full-table-rewriting and single-writer; fine for tests and small
+    tables, and the production path is the MERGE one.
     """
     if not key_cols:
         raise ValueError("key_cols must be non-empty")
     if not spark.catalog.tableExists(table):
         # first batch of an incremental feed: the merge degenerates to
         # table creation (same shape Iceberg's MERGE INTO needs anyway —
-        # the table must exist before MERGE can target it)
+        # the table must exist before MERGE can target it).  With
+        # precedence the delta itself may carry key duplicates: keep the
+        # min-precedence row per key.
+        if precedence:
+            delta = _min_by_key(delta, key_cols, precedence)
         write_catalog_table(delta, table, "create_or_replace", file_format)
         return
     if catalog_supports_merge(spark, table):
         from pyspark.errors import AnalysisException, UnsupportedOperationException
 
+        if precedence:
+            delta = _min_by_key(delta, key_cols, precedence)
         delta.createOrReplaceTempView("_merge_delta")
         on = " AND ".join(f"t.{c} = s.{c}" for c in key_cols)
+        matched = "WHEN MATCHED"
+        if precedence:
+            s_t = ", ".join(
+                f"'{c}', s.{c}" for c in precedence
+            )
+            t_t = ", ".join(
+                f"'{c}', t.{c}" for c in precedence
+            )
+            matched += (
+                f" AND named_struct({s_t}) < named_struct({t_t})"
+            )
         try:
             spark.sql(
                 f"MERGE INTO {table} t USING _merge_delta s ON {on} "
-                "WHEN MATCHED THEN UPDATE SET * "
+                f"{matched} THEN UPDATE SET * "
                 "WHEN NOT MATCHED THEN INSERT *"
             )
             return
@@ -142,15 +168,38 @@ def merge_upsert(
             pass
     current = spark.read.table(table)
     keys = [k for k in key_cols]
-    # keep current rows whose key is NOT in the delta, then add the delta
-    survivors = current.join(
-        delta.select(*keys).dropDuplicates(keys), keys, "left_anti"
-    )
-    merged = survivors.unionByName(delta)
+    if precedence:
+        merged = _min_by_key(
+            current.unionByName(delta.select(*current.columns)),
+            key_cols,
+            precedence,
+        )
+    else:
+        # keep current rows whose key is NOT in the delta, then add the delta
+        survivors = current.join(
+            delta.select(*keys).dropDuplicates(keys), keys, "left_anti"
+        )
+        merged = survivors.unionByName(delta)
     # writing over the table being read requires materializing first on
     # the file-backed fallback; localCheckpoint keeps it in block storage
     merged = merged.localCheckpoint(eager=True)
     write_catalog_table(merged, table, "create_or_replace", file_format)
+
+
+def _min_by_key(
+    df: DataFrame, key_cols: tuple[str, ...], precedence: tuple[str, ...]
+) -> DataFrame:
+    """One row per key: the min-precedence row (map-side combinable)."""
+    cols = list(df.columns)
+    return (
+        df.groupBy(*key_cols)
+        .agg(
+            F.min_by(
+                F.struct(*cols), F.struct(*[F.col(c) for c in precedence])
+            ).alias("_r")
+        )
+        .select(*[F.col(f"_r.{c}").alias(c) for c in cols])
+    )
 
 
 def materialize_graph(

@@ -1,0 +1,366 @@
+"""Incremental cross-batch entity resolution for the streaming/catalog
+path (VERDICT r5 next #3).
+
+Problem: the micro-batch KG pipeline resolves entities WITHIN a batch
+only — "John Smith" in batch 1 and batch 7 become two canonical nodes,
+and the canonical's node id (the first mention's id) depends on how the
+feed happens to split into triggers, so node counts drift with trigger
+size (measured in BENCH.md round 5).
+
+Design — the Spark analog of the reference's inherently-incremental
+DB-side resolver (reference resolver.py:75-168 matches new mentions
+against the STORED ``__Entity__`` nodes; it never needs the whole corpus
+in one pass):
+
+* a persistent **canonical-map catalog table** ``{target}_canon`` with
+  one row per known (label, key): ``(label, key, canonical_id, ord_ci,
+  ord_id)``.  ``canonical_id`` is the CONTENT hash of (label, key) —
+  never a mention id — so the id a key resolves to is independent of
+  arrival order by construction.
+* per batch: the batch's entity mentions (already in-batch resolved by
+  the pipeline) group to one row per (label, key); keys already in the
+  map ADOPT the stored canonical id (one equi-join); optionally, keys
+  with no exact match are FUZZY-matched against the stored keys (the
+  same LSH blocking + WRatio scorer as the batch resolver) and adopt the
+  best stored canonical ≥ threshold, registering their key as an ALIAS
+  row so later repeats exact-match cheaply; remaining keys mint new
+  canonical rows.
+* every merge is **min-wins and associative**: the canonical node's
+  property bag belongs to the globally-min-(chunk_index, id) mention
+  seen SO FAR (the deterministic "first node wins" of the batch
+  resolver, made incremental by storing the ord in the map), and edge
+  property bags merge by min (chunk_uid, conv_id) via
+  ``merge_upsert(..., precedence=...)``.  Min is associative and
+  commutative, so for the exact tier the final (nodes, edges, canon)
+  tables are IDENTICAL for any trigger size and any replay — the
+  convergence/idempotence property the replay tests pin.
+
+Honest limits (same as the reference's incremental resolver): fuzzy
+adoption matches new keys against what is ALREADY stored, so which of
+two fuzzy-equivalent names becomes the canonical depends on arrival
+order, and two existing canonicals are never retroactively merged — that
+consolidation is a periodic offline compaction (run the batch
+``resolve_similarity`` over the canonical nodes), not a per-batch job.
+
+Scale shape: the per-batch work is one groupBy of the batch's mentions,
+one equi-join against the canonical map (Iceberg MERGE touches only
+key-overlapping files; AQE broadcasts the batch side), and bounded
+min-wins MERGEs.  The optional fuzzy tier re-blocks the stored keys per
+batch in this sandbox; at production scale the stored side's MinHash
+signatures would be a maintained table instead of refit per trigger —
+the blocking/scoring operators are unchanged, only their input caching.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from neo4j_graphrag_python_spark.operators.resolver import (
+    _order_key,
+    candidate_pairs_lsh,
+    score_pairs_fuzzy,
+)
+from neo4j_graphrag_python_spark.sources.catalog import merge_upsert
+
+#: ord sentinel for alias rows — loses every min-wins comparison, so an
+#: alias key can never steal the canonical node's property bag
+_ALIAS_ORD_CI = 2147483647
+_ALIAS_ORD_ID = "￿"
+
+
+def canonical_entity_id(label: Column, key: Column) -> Column:
+    """Stable canonical id: content hash of (label, key).  Arrival order
+    cannot influence it — the root of trigger-size invariance."""
+    return F.md5(F.concat_ws("\x00", label, key))
+
+
+def resolve_batch_incremental(
+    nodes: DataFrame,
+    edges: DataFrame,
+    target: str,
+    resolve_property: str = "name",
+    fuzzy_threshold: float | None = None,
+    file_format: str = "parquet",
+    untouched_edge_types: tuple[str, ...] = ("NEXT_CHUNK", "FROM_DOCUMENT"),
+) -> dict:
+    """Resolve one micro-batch's graph against the persistent canonical
+    map and MERGE the results into ``{target}_nodes`` / ``_edges`` /
+    ``_canon``.  Returns counters.
+
+    ``nodes``/``edges`` are a batch pipeline output (in-batch resolved).
+    Entity mentions re-point to stable canonical ids; non-entity nodes
+    (chunks/documents — already content-addressed) pass through.
+    """
+    spark = nodes.sparkSession
+    canon_tbl = f"{target}_canon"
+    key = F.col("properties").getItem(resolve_property)
+    in_scope = F.col("is_entity") & key.isNotNull()
+    scoped = nodes.where(in_scope)
+    others = nodes.where(~F.coalesce(in_scope, F.lit(False)))
+
+    # one row per (label, key) in this batch: min-ord mention's full row
+    batch = (
+        scoped.select(
+            "*", key.alias("_k"), _order_key().alias("_ord")
+        )
+        .groupBy("label", "_k")
+        .agg(
+            F.min_by(F.struct(*nodes.columns), "_ord").alias("_row"),
+            F.min("_ord").alias("_ord"),
+            F.count("*").alias("_n"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    if spark.catalog.tableExists(canon_tbl):
+        stored = spark.read.table(canon_tbl)
+    else:
+        stored = spark.createDataFrame(
+            [],
+            "label string, key string, canonical_id string, "
+            "ord_ci int, ord_id string, is_alias boolean",
+        )
+    st = stored.select(
+        "label",
+        F.col("key").alias("_k"),
+        F.col("canonical_id").alias("_scid"),
+        F.col("ord_ci").alias("_sord_ci"),
+        F.col("ord_id").alias("_sord_id"),
+        F.col("is_alias").alias("_salias"),
+    )
+    assigned = batch.join(st, ["label", "_k"], "left")
+    exact = assigned.where(F.col("_scid").isNotNull())
+    missing = assigned.where(F.col("_scid").isNull()).drop(
+        "_scid", "_sord_ci", "_sord_id", "_salias"
+    )
+
+    n_fuzzy = 0
+    fuzzy_adopt = None
+    if fuzzy_threshold is not None and not stored.isEmpty():
+        fuzzy_adopt = _fuzzy_adopt(missing, stored, fuzzy_threshold)
+        if fuzzy_adopt is not None:
+            fuzzy_adopt = fuzzy_adopt.localCheckpoint(eager=True)
+            n_fuzzy = fuzzy_adopt.count()
+            missing = missing.join(
+                fuzzy_adopt.select("label", "_k"), ["label", "_k"], "left_anti"
+            )
+
+    new = missing.withColumn(
+        "_cid", canonical_entity_id(F.col("label"), F.col("_k"))
+    ).localCheckpoint(eager=True)
+    # exact adopters whose batch mention precedes the stored one take over
+    # the canonical node's property bag (global keep-first, incremental).
+    # Alias keys never do: they point at a canonical whose bag belongs to
+    # its PRIMARY key's min mention — an alias mention beating the alias
+    # SENTINEL ord says nothing about the primary key's order
+    improved = exact.where(
+        ~F.col("_salias")
+        & (
+            F.struct(F.col("_ord.ci"), F.col("_ord.id"))
+            < F.struct(F.col("_sord_ci"), F.col("_sord_id"))
+        )
+    ).localCheckpoint(eager=True)
+
+    node_cols = nodes.columns
+
+    def _canon_rows(df: DataFrame, cid: F.Column) -> DataFrame:
+        return df.select(
+            *[
+                cid.alias("id") if c == "id" else F.col(f"_row.{c}").alias(c)
+                for c in node_cols
+            ]
+        )
+
+    nodes_delta = (
+        others.unionByName(_canon_rows(new, F.col("_cid")))
+        .unionByName(_canon_rows(improved, F.col("_scid")))
+        .localCheckpoint(eager=True)
+    )
+
+    canon_delta_parts = [
+        new.select(
+            "label",
+            F.col("_k").alias("key"),
+            F.col("_cid").alias("canonical_id"),
+            F.col("_ord.ci").alias("ord_ci"),
+            F.col("_ord.id").alias("ord_id"),
+            F.lit(False).alias("is_alias"),
+        ),
+        improved.select(
+            "label",
+            F.col("_k").alias("key"),
+            F.col("_scid").alias("canonical_id"),
+            F.col("_ord.ci").alias("ord_ci"),
+            F.col("_ord.id").alias("ord_id"),
+            F.lit(False).alias("is_alias"),
+        ),
+    ]
+    if fuzzy_adopt is not None and n_fuzzy:
+        canon_delta_parts.append(
+            fuzzy_adopt.select(
+                "label",
+                F.col("_k").alias("key"),
+                F.col("_scid").alias("canonical_id"),
+                F.lit(_ALIAS_ORD_CI).alias("ord_ci"),
+                F.lit(_ALIAS_ORD_ID).alias("ord_id"),
+                F.lit(True).alias("is_alias"),
+            )
+        )
+    canon_delta = canon_delta_parts[0]
+    for p in canon_delta_parts[1:]:
+        canon_delta = canon_delta.unionByName(p)
+    canon_delta = canon_delta.localCheckpoint(eager=True)
+
+    # (batch mention id → canonical id), one row per batch ENTITY KEY,
+    # expanded to mentions by the same (label, key) equi-join the batch
+    # resolver's carried-key path uses
+    parts = [
+        exact.select("label", "_k", F.col("_scid").alias("_cid")),
+        new.select("label", "_k", "_cid"),
+    ]
+    if fuzzy_adopt is not None and n_fuzzy:
+        parts.append(fuzzy_adopt.select("label", "_k", F.col("_scid").alias("_cid")))
+    keymap = parts[0]
+    for p in parts[1:]:
+        keymap = keymap.unionByName(p)
+
+    mapping = (
+        scoped.select("id", "label", key.alias("_k"))
+        .join(keymap, ["label", "_k"])
+        .select("id", F.col("_cid").alias("canonical_id"))
+    )
+
+    edges_delta = _repoint_edges(
+        edges, mapping, untouched_edge_types
+    ).localCheckpoint(eager=True)
+
+    stats = {
+        "batch_entity_keys": batch.count(),
+        "exact_adopted": exact.count(),
+        "fuzzy_adopted": n_fuzzy,
+        "new_canonicals": new.count(),
+    }
+
+    # all deltas are materialized above — safe to rewrite the tables they
+    # were derived from (the V1 fallback is drop+create)
+    merge_upsert(
+        spark,
+        canon_delta,
+        canon_tbl,
+        ("label", "key"),
+        file_format,
+        precedence=("ord_ci", "ord_id"),
+    )
+    merge_upsert(spark, nodes_delta, f"{target}_nodes", ("id",), file_format)
+    merge_upsert(
+        spark,
+        edges_delta,
+        f"{target}_edges",
+        ("start_node_id", "type", "end_node_id"),
+        file_format,
+        precedence=("chunk_uid", "conv_id"),
+    )
+    for t in (canon_tbl, f"{target}_nodes", f"{target}_edges"):
+        spark.catalog.refreshTable(t)
+    return stats
+
+
+def _fuzzy_adopt(
+    missing: DataFrame, stored: DataFrame, threshold: float
+) -> DataFrame | None:
+    """Batch keys with no exact match, fuzzy-matched against the STORED
+    keys: LSH blocking (label-prefixed 3-grams) + WRatio scorer — the
+    batch resolver's exact machinery, with the pair universe restricted
+    to (batch × stored).  Returns (label, _k, _scid) adoptions or None."""
+    b = missing.select(
+        F.concat(F.lit("b:"), F.col("label"), F.lit("\x00"), F.col("_k")).alias("id"),
+        "label",
+        F.col("_k").alias("text"),
+    )
+    s = stored.select(
+        F.concat(F.lit("s:"), F.col("canonical_id")).alias("id"),
+        "label",
+        F.col("key").alias("text"),
+    ).dropDuplicates(["id"])
+    texts = b.unionByName(s)
+    pairs = candidate_pairs_lsh(texts)
+    cross = pairs.where(
+        F.col("id_a").substr(1, 2) != F.col("id_b").substr(1, 2)
+    )
+    if cross.isEmpty():
+        return None
+    scored = score_pairs_fuzzy(cross).where(
+        F.col("similarity") >= F.lit(threshold)
+    )
+    # normalize sides: (batch_id, stored_id, similarity)
+    a_is_b = F.col("id_a").startswith("b:")
+    norm = scored.select(
+        F.when(a_is_b, F.col("id_a")).otherwise(F.col("id_b")).alias("_bid"),
+        F.when(a_is_b, F.col("id_b")).otherwise(F.col("id_a")).alias("_sid"),
+        "similarity",
+    )
+    best = norm.groupBy("_bid").agg(
+        F.max_by(
+            F.col("_sid"), F.struct(F.col("similarity"), F.col("_sid"))
+        ).alias("_sid")
+    )
+    # decode the batch key from the synthetic id
+    decoded = best.select(
+        F.split(F.expr("substring(_bid, 3)"), "\x00").alias("_lk"),
+        F.expr("substring(_sid, 3)").alias("_scid"),
+    ).select(
+        F.col("_lk").getItem(0).alias("label"),
+        F.col("_lk").getItem(1).alias("_k"),
+        "_scid",
+    )
+    return decoded
+
+
+def _repoint_edges(
+    edges: DataFrame,
+    mapping: DataFrame,
+    untouched_edge_types: tuple[str, ...],
+) -> DataFrame:
+    """Re-point entity-adjacent edge endpoints through (id →
+    canonical_id) and merge parallel edges keeping the min-(chunk_uid,
+    conv_id) property bag — the batch resolver's rule, applied before
+    the min-wins table MERGE extends it across batches."""
+    out_cols = [
+        "start_node_id", "end_node_id", "type",
+        "properties", "conv_id", "chunk_uid",
+    ]
+    edges = edges.select(*out_cols)
+    passthrough = None
+    if untouched_edge_types:
+        passthrough = edges.where(F.col("type").isin(list(untouched_edge_types)))
+        edges = edges.where(~F.col("type").isin(list(untouched_edge_types)))
+    non_identity = mapping.where(F.col("id") != F.col("canonical_id"))
+    for endpoint in ("start_node_id", "end_node_id"):
+        m = non_identity.select(
+            F.col("id").alias("_from"), F.col("canonical_id").alias("_to")
+        )
+        edges = (
+            edges.join(m, edges[endpoint] == m._from, "left")
+            .withColumn(endpoint, F.coalesce(F.col("_to"), F.col(endpoint)))
+            .drop("_from", "_to")
+        )
+    merged = (
+        edges.groupBy("start_node_id", "type", "end_node_id")
+        .agg(
+            F.min_by(
+                F.struct("properties", "conv_id", "chunk_uid"),
+                F.struct("chunk_uid", "conv_id"),
+            ).alias("_f")
+        )
+        .select(
+            "start_node_id",
+            "end_node_id",
+            "type",
+            F.col("_f.properties").alias("properties"),
+            F.col("_f.conv_id").alias("conv_id"),
+            F.col("_f.chunk_uid").alias("chunk_uid"),
+        )
+    )
+    if passthrough is not None:
+        merged = merged.unionByName(passthrough.select(*out_cols))
+    return merged

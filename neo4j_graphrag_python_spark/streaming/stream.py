@@ -52,6 +52,7 @@ def stream_kg_pipeline(
     config: PipelineConfig | None = None,
     trigger_once: bool = False,
     sink: str = "parquet_append",
+    incremental_fuzzy_threshold: float | None = None,
 ):
     """Run the KG pipeline per micro-batch via foreachBatch.
 
@@ -71,6 +72,14 @@ def stream_kg_pipeline(
         conversation REPLACES its earlier rows instead of duplicating
         them — the Iceberg production shape (`sources/catalog.py`),
         ``output_dir`` is then a table-name prefix, not a path.
+        Resolution stays within-batch: the same entity arriving in two
+        batches stays two nodes (counts drift with trigger size);
+      * ``catalog_merge_incremental`` — ``catalog_merge`` plus CROSS-batch
+        entity resolution against the persistent ``{output_dir}_canon``
+        map (streaming/incremental.py): stable content-hash canonical
+        ids, min-wins merges (trigger-size-invariant for the exact tier,
+        idempotent on replay), optional fuzzy adoption of new names
+        against stored canonicals at ``incremental_fuzzy_threshold``.
     """
     cfg = config or PipelineConfig()
 
@@ -78,6 +87,18 @@ def stream_kg_pipeline(
         if batch_df.isEmpty():
             return
         result = run_kg_pipeline(batch_df, extractor_fn, schema, cfg)
+        if sink == "catalog_merge_incremental":
+            from neo4j_graphrag_python_spark.streaming.incremental import (
+                resolve_batch_incremental,
+            )
+
+            resolve_batch_incremental(
+                result.nodes,
+                result.edges,
+                output_dir,
+                fuzzy_threshold=incremental_fuzzy_threshold,
+            )
+            return
         if sink == "catalog_merge":
             from neo4j_graphrag_python_spark.sources.catalog import (
                 materialize_graph,

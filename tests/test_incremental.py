@@ -1,0 +1,304 @@
+"""Incremental cross-batch entity resolution (streaming/incremental.py):
+min-wins merges, trigger-size convergence, replay idempotence, fuzzy
+adoption against the stored canonical map."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from neo4j_graphrag_python_spark.sources.catalog import merge_upsert
+from neo4j_graphrag_python_spark.streaming.incremental import (
+    resolve_batch_incremental,
+)
+
+
+@pytest.fixture()
+def fresh_db(spark):
+    spark.sql("CREATE DATABASE IF NOT EXISTS inctest")
+    yield "inctest"
+    spark.sql("DROP DATABASE inctest CASCADE")
+
+
+NODE_COLS = ["id", "label", "is_entity", "properties", "conv_id", "chunk_uid"]
+EDGE_COLS = [
+    "start_node_id", "end_node_id", "type", "properties", "conv_id",
+    "chunk_uid",
+]
+
+
+def _nodes(spark, rows):
+    """rows: (id, label, is_entity, name, chunk_index, conv_id, chunk_uid)"""
+    data = [
+        (
+            i,
+            lab,
+            ent,
+            {"name": nm, "chunk_index": str(ci)} if nm is not None else {},
+            cv,
+            cu,
+        )
+        for i, lab, ent, nm, ci, cv, cu in rows
+    ]
+    return spark.createDataFrame(
+        data,
+        "id string, label string, is_entity boolean, "
+        "properties map<string,string>, conv_id string, chunk_uid string",
+    )
+
+
+def _edges(spark, rows):
+    """rows: (start, end, type, conv_id, chunk_uid)"""
+    data = [(s, e, t, {}, cv, cu) for s, e, t, cv, cu in rows]
+    return spark.createDataFrame(
+        data,
+        "start_node_id string, end_node_id string, type string, "
+        "properties map<string,string>, conv_id string, chunk_uid string",
+    )
+
+
+def _table_rows(spark, table):
+    return sorted(
+        tuple(str(v) for v in r) for r in spark.read.table(table).collect()
+    )
+
+
+# ---------------------------------------------------------------------------
+# merge_upsert precedence (min-wins) semantics
+# ---------------------------------------------------------------------------
+
+
+def test_merge_upsert_precedence_min_wins(spark, fresh_db):
+    t = f"{fresh_db}.minwins"
+    df = spark.createDataFrame(
+        [(1, 5, "e", "v-5"), (2, 9, "x", "v-9")], ["id", "o1", "o2", "val"]
+    )
+    merge_upsert(spark, df, t, ("id",), precedence=("o1", "o2"))
+    # lower precedence replaces; higher is ignored
+    delta = spark.createDataFrame(
+        [(1, 3, "z", "v-3"), (2, 9, "y", "v-9y"), (3, 1, "a", "new")],
+        ["id", "o1", "o2", "val"],
+    )
+    merge_upsert(spark, delta, t, ("id",), precedence=("o1", "o2"))
+    got = {r.id: (r.o1, r.o2, r.val) for r in spark.read.table(t).collect()}
+    assert got == {
+        1: (3, "z", "v-3"),  # 3 < 5: delta wins
+        2: (9, "x", "v-9"),  # (9,"y") > (9,"x"): stored wins
+        3: (1, "a", "new"),
+    }
+    # replay: strict < fails on equal rows → unchanged
+    merge_upsert(spark, delta, t, ("id",), precedence=("o1", "o2"))
+    assert {
+        r.id: (r.o1, r.o2, r.val) for r in spark.read.table(t).collect()
+    } == got
+
+
+def test_merge_upsert_precedence_dedupes_delta_itself(spark, fresh_db):
+    t = f"{fresh_db}.minwins2"
+    delta = spark.createDataFrame(
+        [(1, 7, "b"), (1, 2, "a"), (1, 9, "c")], ["id", "o1", "val"]
+    )
+    merge_upsert(spark, delta, t, ("id",), precedence=("o1",))
+    rows = spark.read.table(t).collect()
+    assert len(rows) == 1 and rows[0].val == "a"
+
+
+# ---------------------------------------------------------------------------
+# incremental resolution: convergence / idempotence / adoption
+# ---------------------------------------------------------------------------
+
+# mention set: "John Smith" appears in three conversations with different
+# chunk orders and property bags; "Acme" in two; "Solo" once.  The global
+# keep-first winner for John Smith is m2 (chunk_index 0, lowest id at tie).
+MENTIONS = [
+    # (id, label, is_entity, name, chunk_index, conv_id, chunk_uid)
+    ("m1", "Person", True, "John Smith", 3, "c1", "u1"),
+    ("m2", "Person", True, "John Smith", 0, "c2", "u2"),
+    ("m3", "Person", True, "John Smith", 0, "c3", "u3"),  # ties m2, id m2<m3
+    ("m4", "Org", True, "Acme", 1, "c1", "u1"),
+    ("m5", "Org", True, "Acme", 0, "c3", "u3"),
+    ("m6", "Person", True, "Solo", 2, "c2", "u2"),
+    ("d1", "Document", False, None, 0, "c1", None),
+    ("d2", "Document", False, None, 0, "c2", None),
+    ("d3", "Document", False, None, 0, "c3", None),
+]
+EDGE_ROWS = [
+    ("m1", "m4", "WORKS_AT", "c1", "u1"),
+    ("m2", "m6", "KNOWS", "c2", "u2"),
+    ("m3", "m5", "WORKS_AT", "c3", "u3"),
+    ("m2", "d2", "FROM_DOCUMENT", "c2", "u2"),
+]
+
+
+def _run_batches(spark, target, split):
+    """Feed MENTIONS/EDGE_ROWS through resolve_batch_incremental in
+    ``split`` groups of conv_ids (simulating trigger sizes)."""
+    for convs in split:
+        nrows = [m for m in MENTIONS if m[5] in convs]
+        erows = [e for e in EDGE_ROWS if e[3] in convs]
+        resolve_batch_incremental(
+            _nodes(spark, nrows), _edges(spark, erows), target
+        )
+
+
+def test_incremental_converges_across_batch_splits(spark, fresh_db):
+    """The exact tier's min-wins design makes the final nodes/edges/canon
+    tables IDENTICAL no matter how the feed splits into batches — the
+    trigger-size convergence the round-5 verdict asked for."""
+    t_one = f"{fresh_db}.kg_one"
+    t_many = f"{fresh_db}.kg_many"
+    t_rev = f"{fresh_db}.kg_rev"
+    _run_batches(spark, t_one, [{"c1", "c2", "c3"}])
+    _run_batches(spark, t_many, [{"c1"}, {"c2"}, {"c3"}])
+    _run_batches(spark, t_rev, [{"c3"}, {"c2"}, {"c1"}])
+
+    for suffix in ("_nodes", "_edges", "_canon"):
+        one = _table_rows(spark, t_one + suffix)
+        many = _table_rows(spark, t_many + suffix)
+        rev = _table_rows(spark, t_rev + suffix)
+        assert one == many == rev, suffix
+
+    nodes = spark.read.table(f"{t_one}_nodes").collect()
+    ents = [r for r in nodes if r.is_entity]
+    # 3 canonical entities: John Smith, Acme, Solo — with content-hash ids
+    assert len(ents) == 3
+    assert {r.properties["name"] for r in ents} == {
+        "John Smith", "Acme", "Solo"
+    }
+    # global keep-first property bag: John Smith's canonical carries m2's
+    # chunk_index (0), not m1's (3), in every split order
+    js = next(r for r in ents if r.properties["name"] == "John Smith")
+    assert js.properties["chunk_index"] == "0" and js.conv_id == "c2"
+    # edges re-pointed: both WORKS_AT rows collapse to one canonical pair
+    edges = spark.read.table(f"{t_one}_edges").collect()
+    wa = [e for e in edges if e.type == "WORKS_AT"]
+    assert len(wa) == 1
+    # min-(chunk_uid, conv_id) property bag wins for the merged edge
+    assert (wa[0].chunk_uid, wa[0].conv_id) == ("u1", "c1")
+
+
+def test_incremental_replay_is_idempotent(spark, fresh_db):
+    t = f"{fresh_db}.kg_replay"
+    _run_batches(spark, t, [{"c1", "c2"}, {"c3"}])
+    before = {
+        s: _table_rows(spark, t + s) for s in ("_nodes", "_edges", "_canon")
+    }
+    # replay every batch (redelivery after a restart)
+    _run_batches(spark, t, [{"c1", "c2"}, {"c3"}])
+    after = {
+        s: _table_rows(spark, t + s) for s in ("_nodes", "_edges", "_canon")
+    }
+    assert before == after
+
+
+def test_incremental_fuzzy_adoption_and_alias(spark, fresh_db):
+    """A new NAME fuzzy-matching a stored canonical adopts it: no new
+    canonical node, an alias row registers the variant for cheap exact
+    hits later, and the variant's edges point at the stored canonical."""
+    t = f"{fresh_db}.kg_fuzzy"
+    b1_nodes = _nodes(
+        spark, [("m1", "Person", True, "John Smith", 0, "c1", "u1")]
+    )
+    stats1 = resolve_batch_incremental(
+        b1_nodes, _edges(spark, []), t, fuzzy_threshold=0.8
+    )
+    assert stats1["new_canonicals"] == 1
+
+    b2_nodes = _nodes(
+        spark,
+        [
+            ("m7", "Person", True, "Jon Smith", 0, "c9", "u9"),
+            ("m8", "Org", True, "Zebra Corp", 0, "c9", "u9"),
+        ],
+    )
+    b2_edges = _edges(spark, [("m7", "m8", "WORKS_AT", "c9", "u9")])
+    stats2 = resolve_batch_incremental(
+        b2_nodes, b2_edges, t, fuzzy_threshold=0.8
+    )
+    assert stats2["fuzzy_adopted"] == 1  # Jon Smith → John Smith
+    assert stats2["new_canonicals"] == 1  # Zebra Corp
+
+    nodes = spark.read.table(f"{t}_nodes").collect()
+    names = sorted(r.properties["name"] for r in nodes if r.is_entity)
+    assert names == ["John Smith", "Zebra Corp"]  # no Jon Smith node
+
+    canon = spark.read.table(f"{t}_canon").collect()
+    by_key = {(r.label, r.key): r.canonical_id for r in canon}
+    assert by_key[("Person", "Jon Smith")] == by_key[("Person", "John Smith")]
+
+    # the variant's edge points at the adopted canonical
+    js_id = by_key[("Person", "John Smith")]
+    edges = spark.read.table(f"{t}_edges").collect()
+    assert len(edges) == 1 and edges[0].start_node_id == js_id
+
+    # third batch: the alias now exact-matches (no fuzzy pass needed)
+    b3_nodes = _nodes(
+        spark, [("m9", "Person", True, "Jon Smith", 5, "c10", "u10")]
+    )
+    stats3 = resolve_batch_incremental(
+        b3_nodes, _edges(spark, []), t, fuzzy_threshold=0.8
+    )
+    assert stats3["exact_adopted"] == 1 and stats3["new_canonicals"] == 0
+    # alias sentinel ord can never steal the canonical property bag
+    nodes = spark.read.table(f"{t}_nodes").collect()
+    js = next(r for r in nodes if r.is_entity and r.properties["name"] == "John Smith")
+    assert js.properties["chunk_index"] == "0"
+
+
+def test_incremental_stream_trigger_sizes_converge(spark, fresh_db, tmp_path):
+    """End-to-end through Structured Streaming: the same 4-file feed at
+    maxFilesPerTrigger=1 and =16 converges to identical canonical
+    node/edge/canon tables (the round-5 verdict's Done criterion)."""
+    import pandas as pd
+
+    from neo4j_graphrag_python_spark import transcripts as tr
+    from neo4j_graphrag_python_spark.operators.extractor import (
+        demo_rules,
+        regex_extractor,
+    )
+    from neo4j_graphrag_python_spark.schema import demo_schema
+    from neo4j_graphrag_python_spark.streaming.stream import (
+        read_transcript_stream,
+        stream_kg_pipeline,
+    )
+    from neo4j_graphrag_python_spark.types import (
+        PipelineConfig,
+        SplitterConfig,
+    )
+
+    whole = tmp_path / "all.parquet"
+    tr.write_transcripts(whole, 0.0001)
+    pdf = pd.read_parquet(whole)
+    convs = sorted(pdf["conv_id"].unique())
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    for i in range(4):
+        part = pdf[pdf["conv_id"].isin(convs[i::4])]
+        part.to_parquet(src / f"f{i}.parquet", index=False)
+
+    kw = dict(
+        extractor_fn=regex_extractor(demo_rules()),
+        schema=demo_schema(),
+        config=PipelineConfig(splitter=SplitterConfig(600, 200)),
+        trigger_once=True,
+        sink="catalog_merge_incremental",
+    )
+    results = {}
+    for tag, mft in (("small", 1), ("big", 16)):
+        tgt = f"{fresh_db}.kg_{tag}"
+        stream = read_transcript_stream(
+            spark, str(src), max_files_per_trigger=mft
+        )
+        q = stream_kg_pipeline(
+            stream,
+            output_dir=tgt,
+            checkpoint_dir=str(tmp_path / f"ckpt_{tag}"),
+            **kw,
+        )
+        q.awaitTermination(300)
+        results[tag] = {
+            s: _table_rows(spark, tgt + s)
+            for s in ("_nodes", "_edges", "_canon")
+        }
+    assert results["small"] == results["big"]
+    assert len(results["small"]["_nodes"]) > 0

@@ -1004,6 +1004,101 @@ def test_pq_topk_lossless_at_rescore_on_clustered(spark) -> None:
     assert pq.collect() == brute.collect()
 
 
+def test_ivfpq_exact_when_probing_all_cells(spark) -> None:
+    """Probing every cell with a corpus-sized rescore budget makes IVF-PQ
+    a (slow) exact search — the composition must then equal brute force
+    bit-for-bit (final values are fold-order cosine either way)."""
+    import random as _r
+
+    from neo4j_graphrag_python_spark.operators.similarity import (
+        build_ivfpq_index,
+        topk_bruteforce,
+        topk_ivfpq,
+    )
+
+    rng = _r.Random(9)
+    centers = [[rng.gauss(0, 1) for _ in range(16)] for _ in range(4)]
+    rows = [
+        (i, [x + rng.gauss(0, 0.3) for x in centers[i % 4]])
+        for i in range(240)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = rows[7][1]
+    coded, cents, books = build_ivfpq_index(
+        df, num_centroids=4, m=4, pq_centroids=8, sample_n=240
+    )
+    out = topk_ivfpq(
+        coded, df, cents, books, q, k=10, nprobe=4, rescore=240
+    )
+    assert out.collect() == topk_bruteforce(df, q, k=10).collect()
+
+
+def test_ivfpq_recall_with_narrow_probe_on_clustered(spark) -> None:
+    """nprobe=1 on a clustered corpus: the query's own cell holds its
+    cluster, so recall@10 stays high while the ADC scan touches ~1/4 of
+    the codes."""
+    import random as _r
+
+    from neo4j_graphrag_python_spark.operators.similarity import (
+        build_ivfpq_index,
+        topk_bruteforce,
+        topk_ivfpq,
+    )
+
+    rng = _r.Random(21)
+    centers = [[rng.gauss(0, 1) for _ in range(16)] for _ in range(4)]
+    rows = [
+        (i, [x + rng.gauss(0, 0.25) for x in centers[i % 4]])
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = rows[2][1]
+    coded, cents, books = build_ivfpq_index(
+        df, num_centroids=4, m=4, pq_centroids=16, sample_n=400
+    )
+    got = {
+        r["id"]
+        for r in topk_ivfpq(
+            coded, df, cents, books, q, k=10, nprobe=1, rescore=60
+        ).collect()
+    }
+    true = {r["id"] for r in topk_bruteforce(df, q, k=10).collect()}
+    assert len(got & true) >= 8  # ≥0.8 recall on a cleanly clustered corpus
+
+
+def test_ivfpq_engines_agree_and_carry_bucket(spark) -> None:
+    """pandas (Arrow GEMM) and sql (fold-order HOF) residual quantizers
+    must emit identical (id, bucket, codes) given shared centroids and
+    codebooks — same engine-equality contract as flat PQ."""
+    import random as _r
+
+    from neo4j_graphrag_python_spark.operators.similarity import (
+        build_ivfpq_index,
+    )
+
+    rng = _r.Random(17)
+    rows = [
+        (i, [rng.gauss(0, 1) for _ in range(16)]) for i in range(80)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    _, cents, books = build_ivfpq_index(
+        df, num_centroids=3, m=4, pq_centroids=6, sample_n=80
+    )
+
+    def snap(engine):
+        coded, _, _ = build_ivfpq_index(
+            df, centroids=cents, codebooks=books, engine=engine
+        )
+        return {
+            r["id"]: (r["bucket"], list(r["codes"]))
+            for r in coded.collect()
+        }
+
+    a, b = snap("pandas"), snap("sql")
+    assert a == b
+    assert set(v[0] for v in a.values()) <= {0, 1, 2}
+
+
 def test_pq_topk_rescore_smaller_than_k(spark) -> None:
     from neo4j_graphrag_python_spark.operators.similarity import (
         build_pq_index,
