@@ -221,6 +221,8 @@ ELSH_THRESHOLD, ELSH_TARGET_RECALL = 0.8, 0.95
 EIVF_THRESHOLD, EIVF_C, EIVF_NPROBE = 0.4, 16, 8
 # training-sequence packing: context length in whitespace tokens
 PACK_SEQ_LEN = 512
+# BPE tokenizer training: merges learned from the corpus
+BPE_MERGES = 10
 # linear quality classifier: pinned demo model (token, weight) — weights
 # are multiples of 1e-6 so the scaled-long sum is exact in any fold order
 QUALITY_VOCAB: list[tuple[str, float]] = [
@@ -1557,6 +1559,24 @@ def q_ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (Sennrich 2016 alg. 1): learn
+    BPE_MERGES merges from the documents corpus — iterated weighted
+    adjacent-pair argmax over the distinct-word table, merges applied as
+    literal delimited-string replaces (codegen'd; identical semantics in
+    DuckDB's replace).  The oracle unrolls the SAME iterations as
+    chained CTEs (the quality_train_weights pattern) — all-integer
+    counts and a total tie order make it exact."""
+    from neo4j_graphrag_python_spark.operators.training import (
+        bpe_train_merges,
+    )
+
+    out, _ = bpe_train_merges(
+        _read(spark, sf_dir, "documents"), num_merges=BPE_MERGES
+    )
+    return out
+
+
 def q_doc_pack_coords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-and-chunk packing coordinates (two-phase distributed
     prefix sum — never a global single-reducer window); oracle is the
@@ -1734,6 +1754,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_curate": q_corpus_curate,
         "quality_train_weights": q_quality_train_weights,
         "doc_lm_perplexity": q_doc_lm_perplexity,
+        "bpe_train_merges": q_bpe_train_merges,
     }
 
 
@@ -1835,6 +1856,62 @@ def _pii_oracle_sql() -> str:
         f"SELECT doc_id AS id,\n       {clean} AS clean_text,\n       {counts}\n"
         f"FROM read_parquet('{PII_FIXTURE}')"
     )
+
+
+def _bpe_oracle_sql(k: int) -> str:
+    """Unrolled-iteration BPE-training oracle (the quality_train_weights
+    pattern): k chained CTE blocks, each = pair-count groupBy → total-
+    order argmax (count DESC, left, right) → literal delimited-string
+    replace — character-identical semantics to the Spark trainer (all
+    integer counts, same counting rule incl. overlaps, same replace
+    left-to-right greediness)."""
+    dd = "chr(31)||chr(31)"
+    sql = f"""
+WITH w0 AS (
+  SELECT {dd} || array_to_string(
+           list_append(
+             list_filter(string_split_regex(word, ''), c -> c <> ''),
+             '</w>'),
+           {dd}) || {dd} AS state,
+         cnt
+  FROM (
+    SELECT word, count(*) AS cnt FROM (
+      SELECT unnest(CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                         ELSE regexp_split_to_array(trim(lower(text)), '\\s+')
+                    END) AS word
+      FROM documents
+    ) WHERE word <> '' AND NOT contains(word, chr(31))
+    GROUP BY word
+  )
+)"""
+    for i in range(1, k + 1):
+        sql += f"""
+, s{i} AS (
+  SELECT list_filter(string_split(state, {dd}), x -> x <> '') AS syms, cnt
+  FROM w{i - 1}
+)
+, p{i} AS (
+  SELECT pr.a AS a, pr.b AS b, sum(cnt) AS c FROM (
+    SELECT unnest([{{'a': syms[j], 'b': syms[j + 1]}}
+                   for j in range(1, len(syms))]) AS pr,
+           cnt
+    FROM s{i}
+  ) GROUP BY 1, 2
+)
+, b{i} AS (SELECT a, b, c FROM p{i} ORDER BY c DESC, a, b LIMIT 1)
+, w{i} AS (
+  SELECT replace(state,
+                 chr(31)||a||{dd}||b||chr(31),
+                 chr(31)||a||b||chr(31)) AS state,
+         cnt
+  FROM w{i - 1} CROSS JOIN b{i}
+)"""
+    finals = "\nUNION ALL\n".join(
+        f'SELECT {i} AS rank, a AS "left", b AS "right", '
+        f"CAST(c AS BIGINT) AS pair_count FROM b{i}"
+        for i in range(1, k + 1)
+    )
+    return sql + "\n" + finals + "\nORDER BY rank"
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2375,6 +2452,7 @@ SELECT id, score FROM scored ORDER BY score DESC, id LIMIT 10
         "ann_topk_ivfpq": f"""
 SELECT id, score FROM read_parquet('{IVFPQ_FIXTURE}')
 """,
+        "bpe_train_merges": _bpe_oracle_sql(BPE_MERGES),
         "ann_topk_bruteforce": """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 q AS (SELECT v AS qv FROM e WHERE vec_id = 0),

@@ -414,6 +414,93 @@ def candidate_pairs_lsh(
     )
 
 
+#: alphabet of default_process output: 26 letters, 10 digits, space
+_UB_ALPHABET = "abcdefghijklmnopqrstuvwxyz0123456789 "
+
+
+def _processed_char_counts(text: "Column") -> tuple["Column", "Column"]:
+    """(per-alphabet-char count vector, length) of default_process(text),
+    computed JVM-side.  The regexp mirrors functions/fuzz.default_process
+    exactly: lowercase, non-alnum runs → single space, strip."""
+    p = F.trim(F.regexp_replace(F.lower(text), "[^a-z0-9]+", " "))
+    chars = F.array(*[F.lit(c) for c in _UB_ALPHABET])
+    counts = F.transform(
+        chars,
+        lambda c: (F.length(p) - F.length(F.replace(p, c))).cast("int"),
+    )
+    return counts, F.length(p)
+
+
+def prefilter_fuzzy_pairs(
+    pairs: DataFrame, texts: DataFrame, threshold: float
+) -> DataFrame:
+    """Drop candidate pairs whose PROVABLE WRatio upper bound is below
+    ``threshold`` — zero recall loss by construction, unlike a
+    statistical margin.
+
+    Bound (for the repo's wratio: base InDel ratio + scaled partial):
+    any common subsequence's char multiset is a sub-multiset of both
+    sides, so ``LCS(a,b) ≤ bagint`` (the char-bag intersection) and
+
+      * base  = 2·LCS/(la+lb)            ≤ 2·bagint/(la+lb)
+      * partial(shorter, window) = LCS/ls ≤ bagint/ls   (a window's bag
+        ⊆ the longer string's bag), scaled by wratio's exact 0.9/0.6
+        length-ratio branches.
+
+    The count vectors are computed ONCE per text (n rows of 37 ints —
+    one codegen'd projection) and joined into the pair stream; the
+    per-pair work is a 37-slot zip_with/min fold, far cheaper than the
+    O(len²) Python LCS it short-circuits.  This is the fuzzy analog of
+    the minhash est-prefilter (dedup.py), but exact instead of 3σ.
+
+    ONLY sound for the pure-Python wratio (functions/fuzz.py): real
+    rapidfuzz WRatio adds token_sort/token_set branches (0.95-scaled)
+    that this bound does not dominate — callers must bypass the
+    prefilter when rapidfuzz is installed (resolve_similarity does).
+    """
+    counts, plen = _processed_char_counts(F.col("text"))
+    cnt = texts.select(
+        "id", counts.alias("_cnt"), plen.alias("_plen")
+    )
+    joined = (
+        pairs.join(
+            cnt.select(
+                F.col("id").alias("id_a"),
+                F.col("_cnt").alias("_cnt_a"),
+                F.col("_plen").alias("_la"),
+            ),
+            "id_a",
+        )
+        .join(
+            cnt.select(
+                F.col("id").alias("id_b"),
+                F.col("_cnt").alias("_cnt_b"),
+                F.col("_plen").alias("_lb"),
+            ),
+            "id_b",
+        )
+    )
+    bagint = F.aggregate(
+        F.zip_with("_cnt_a", "_cnt_b", lambda x, y: F.least(x, y)),
+        F.lit(0),
+        lambda s, x: s + x,
+    ).cast("double")
+    la, lb = F.col("_la").cast("double"), F.col("_lb").cast("double")
+    ls, ll = F.least(la, lb), F.greatest(la, lb)
+    base_ub = F.lit(2.0) * bagint / (la + lb)
+    scale = (
+        F.when(ll / ls >= 8.0, F.lit(0.6))
+        .when(ll / ls >= 1.5, F.lit(0.9))
+        .otherwise(F.lit(0.0))
+    )
+    ub = F.when(ls <= 0, F.lit(0.0)).otherwise(
+        F.greatest(base_ub, scale * bagint / ls)
+    )
+    return joined.where(ub >= F.lit(threshold)).drop(
+        "_cnt_a", "_cnt_b", "_la", "_lb"
+    )
+
+
 def score_pairs_fuzzy(pairs: DataFrame) -> DataFrame:
     """Arrow-batched pair scoring with the WRatio-compatible scorer
     (functions/fuzz.py; reference resolver.py:448-453)."""
@@ -530,12 +617,25 @@ def resolve_similarity(
     similarity_threshold: float = 0.8,
     lsh_jaccard_distance: float = 0.8,
     untouched_edge_types: tuple[str, ...] | None = None,
+    prefilter: bool = True,
 ) -> tuple[DataFrame, DataFrame, ResolutionStats]:
-    """Fuzzy / semantic resolution (resolver.py:179-313 pipeline shape)."""
+    """Fuzzy / semantic resolution (resolver.py:179-313 pipeline shape).
+
+    ``prefilter`` (fuzzy method only): cut candidate pairs whose provable
+    WRatio upper bound is below the threshold before the Python scorer —
+    exact, zero recall loss (:func:`prefilter_fuzzy_pairs`).  Auto-
+    disabled when rapidfuzz is installed (the scorer then delegates to
+    real WRatio, whose token_sort/token_set branches the bound does not
+    dominate)."""
     props = resolve_properties or ["name"]
     texts = _resolve_texts(nodes, props).persist()
     n_scope = texts.count()
     pairs = candidate_pairs_lsh(texts, jaccard_distance=lsh_jaccard_distance)
+    if method == "fuzzy" and prefilter:
+        from neo4j_graphrag_python_spark.functions.fuzz import HAVE_RAPIDFUZZ
+
+        if not HAVE_RAPIDFUZZ:
+            pairs = prefilter_fuzzy_pairs(pairs, texts, similarity_threshold)
     scored = (
         score_pairs_fuzzy(pairs) if method == "fuzzy" else score_pairs_cosine(pairs)
     )

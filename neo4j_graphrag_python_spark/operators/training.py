@@ -211,3 +211,191 @@ w{e + 1} AS (
         f"\nSELECT token, w6 / 1000000.0 AS weight FROM w{epochs}\n"
     )
     return "".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training (Sennrich, Haddow, Birch 2016, "Neural Machine
+# Translation of Rare Words with Subword Units" — algorithm 1)
+# ---------------------------------------------------------------------------
+
+#: symbol delimiter inside a word-state string — chr(31) (ASCII unit
+#: separator) never appears in whitespace-tokenized text; words that do
+#: contain it are dropped from training (counted, documented)
+_BPE_D = "\x1f"
+_BPE_DD = _BPE_D * 2
+#: end-of-word terminal symbol (standard BPE; makes encode/decode
+#: round-trippable because a merge can never span two words)
+BPE_EOW = "</w>"
+
+
+def _bpe_state_col(word) -> "F.Column":
+    """word string → delimited symbol-state string: ``DD s1 DD s2 DD …
+    DD`` with one char per initial symbol plus the </w> terminal.
+
+    The double delimiter between symbols is what makes the per-merge
+    rewrite a LITERAL ``replace``: merging (a, b) rewrites
+    ``D a DD b D`` → ``D ab D`` — the pattern consumes one delimiter of
+    each boundary, so consecutive overlapping occurrences ("x x x x"
+    with merge (x,x) → [xx, xx]) resolve with the standard left-to-right
+    non-overlapping greediness, and a symbol that merely PREFIXES
+    another (("a","b") vs symbol "by") can never false-match because
+    the pattern requires the closing delimiter after ``b``.  Literal
+    replace needs no regex escaping and stays inside whole-stage
+    codegen in both engines (Spark `replace`, DuckDB `replace`)."""
+    chars = F.filter(F.split(word, ""), lambda c: c != "")
+    syms = F.concat(chars, F.array(F.lit(BPE_EOW)))
+    return F.concat(
+        F.lit(_BPE_DD), F.array_join(syms, _BPE_DD), F.lit(_BPE_DD)
+    )
+
+
+def _bpe_merge_find_repl(a: str, b: str) -> tuple[str, str]:
+    return (
+        f"{_BPE_D}{a}{_BPE_DD}{b}{_BPE_D}",
+        f"{_BPE_D}{a}{b}{_BPE_D}",
+    )
+
+
+def _bpe_adjacent_pairs(state) -> "F.Column":
+    """state string → array<struct<a,b>> of ALL adjacent symbol pairs
+    (overlaps included — the subword-nmt counting rule)."""
+    syms = F.filter(F.split(state, _BPE_DD), lambda s: s != F.lit(""))
+    n = F.size(syms)
+    return F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.struct(
+                F.element_at(syms, i).alias("a"),
+                F.element_at(syms, i + 1).alias("b"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+
+
+def bpe_word_counts(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(word, cnt) over the whitespace-lowercase tokenization (the same
+    ``_tokens`` rule the scoring operators use).  ONE corpus scan + one
+    map-side-combinable groupBy; everything after trains on this
+    vocabulary-bounded table, never the corpus."""
+    from neo4j_graphrag_python_spark.operators.text_analysis import _tokens
+
+    return (
+        df.select(F.explode(_tokens(F.col(text_col))).alias("word"))
+        .where((F.col("word") != "") & ~F.col("word").contains(_BPE_D))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def bpe_train_merges(
+    df: DataFrame,
+    num_merges: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[DataFrame, list[tuple[str, str, int]]]:
+    """Train ``num_merges`` BPE merges on the corpus (Sennrich 2016
+    alg. 1): repeatedly count adjacent symbol pairs weighted by word
+    frequency, merge the argmax pair everywhere, record it.  Returns
+    (merges DataFrame(rank int, left, right, pair_count long), merges
+    list) — the DataFrame is the contract surface, the list feeds
+    :func:`bpe_encode`.
+
+    Determinism: the argmax tie-breaks by (count DESC, left ASC, right
+    ASC) — a total order, so the merge sequence is a pure function of
+    the corpus, and the unrolled-iteration SQL oracle replicates it
+    exactly (same counting rule, same literal-replace apply, same tie
+    order; all integer counts, no float anywhere).
+
+    Scale shape: the corpus text is scanned ONCE (word counting —
+    explode + combinable groupBy); every iteration runs on the DISTINCT-
+    WORD table (vocabulary-bounded, ≪ corpus) — one pair explode + one
+    combinable groupBy + a 1-row argmax collect + one codegen'd literal
+    ``replace`` projection.  Per-iteration state is localCheckpointed so
+    k iterations don't stack k replace-plans into one lineage (the
+    fit_linear_classifier lesson).  This is exactly how distributed BPE
+    trainers shard the problem: merge decisions are global argmaxes over
+    pair counts, and pair counts are associative sums over words.
+    """
+    words = (
+        bpe_word_counts(df, id_col, text_col)
+        .select(_bpe_state_col(F.col("word")).alias("state"), "cnt")
+        .localCheckpoint(eager=True)
+    )
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(int(num_merges)):
+        best = (
+            words.select(
+                F.explode(_bpe_adjacent_pairs(F.col("state"))).alias("p"),
+                "cnt",
+            )
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("cnt").alias("c"))
+            .orderBy(F.desc("c"), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        a, b, c = best[0]["a"], best[0]["b"], int(best[0]["c"])
+        merges.append((a, b, c))
+        find, repl = _bpe_merge_find_repl(a, b)
+        words = words.select(
+            F.expr(
+                f"replace(state, {_sql_str(find)}, {_sql_str(repl)})"
+            ).alias("state"),
+            "cnt",
+        ).localCheckpoint(eager=True)
+    spark = df.sparkSession
+    out = spark.createDataFrame(
+        [(r + 1, a, b, c) for r, (a, b, c) in enumerate(merges)],
+        "rank int, left string, right string, pair_count long",
+    )
+    return out, merges
+
+
+def _sql_str(s: str) -> str:
+    """SQL single-quoted string literal (the only metachar is ')."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple[str, str, int]] | list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Encode documents with a learned merge list → (id, n_bpe_tokens,
+    symbols array<string> of the whole doc in order).  One projection:
+    per word-state, the k merges apply as k nested literal ``replace``
+    calls IN RANK ORDER (BPE's apply rule) — codegen'd, no Python, no
+    shuffle."""
+    from neo4j_graphrag_python_spark.operators.text_analysis import _tokens
+
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.flatten(
+            F.transform(
+                _tokens(F.col(text_col)),
+                lambda w: F.filter(
+                    F.split(_apply_merges_col(w, merges), _BPE_DD),
+                    lambda s: s != F.lit(""),
+                ),
+            )
+        ).alias("symbols"),
+    )
+    return toks.select(
+        "id",
+        F.size("symbols").cast("long").alias("n_bpe_tokens"),
+        "symbols",
+    )
+
+
+def _apply_merges_col(word, merges) -> "F.Column":
+    col = _bpe_state_col(word)
+    for m in merges:
+        find, repl = _bpe_merge_find_repl(m[0], m[1])
+        col = F.replace(col, F.lit(find), F.lit(repl))
+    return col

@@ -58,6 +58,7 @@ from pyspark.sql import Column, DataFrame, functions as F
 from neo4j_graphrag_python_spark.operators.resolver import (
     _order_key,
     candidate_pairs_lsh,
+    prefilter_fuzzy_pairs,
     score_pairs_fuzzy,
 )
 from neo4j_graphrag_python_spark.sources.catalog import merge_upsert
@@ -287,6 +288,12 @@ def _fuzzy_adopt(
     cross = pairs.where(
         F.col("id_a").substr(1, 2) != F.col("id_b").substr(1, 2)
     )
+    from neo4j_graphrag_python_spark.functions.fuzz import HAVE_RAPIDFUZZ
+
+    if not HAVE_RAPIDFUZZ:
+        # exact WRatio upper-bound cut before the Python scorer (sound
+        # only for the pure-Python wratio — see prefilter_fuzzy_pairs)
+        cross = prefilter_fuzzy_pairs(cross, texts, threshold)
     if cross.isEmpty():
         return None
     scored = score_pairs_fuzzy(cross).where(

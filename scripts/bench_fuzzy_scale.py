@@ -57,10 +57,31 @@ def main() -> None:
         [(i, lab, nm) for i, lab, nm, _ in rows], ["id", "label", "text"]
     ).localCheckpoint()
 
+    prefilter = os.environ.get("BENCH_FUZZY_PREFILTER", "1") == "1"
     t0 = time.time()
     cands = candidate_pairs_lsh(
         texts, num_hash_tables=tables, jaccard_distance=jaccard_distance
     )
+    n_cands = None
+    n_kept = None
+    if prefilter:
+        # the library path (resolve_similarity): exact WRatio upper-bound
+        # cut before the Python scorer — zero recall loss by construction
+        from neo4j_graphrag_python_spark.operators.resolver import (
+            prefilter_fuzzy_pairs,
+        )
+
+        if os.environ.get("BENCH_FUZZY_COUNTS", "0") == "1":
+            # diagnostic pruning counts — materializes the full candidate
+            # stream twice, NOT part of the timed library path
+            cands = cands.localCheckpoint()
+            n_cands = cands.count()
+            cands = prefilter_fuzzy_pairs(
+                cands, texts, THRESHOLD
+            ).localCheckpoint()
+            n_kept = cands.count()
+        else:
+            cands = prefilter_fuzzy_pairs(cands, texts, THRESHOLD)
     matches = (
         score_pairs_fuzzy(cands)
         .where(F.col("similarity") >= THRESHOLD)
@@ -122,6 +143,9 @@ def main() -> None:
                 "num_hash_tables": tables,
                 "threshold": THRESHOLD,
                 "wall_s": wall,
+                "prefilter": prefilter,
+                "candidates": n_cands,
+                "candidates_after_prefilter": n_kept,
                 "matches": n_matches,
                 "components": n_comp,
                 "planted_truth_pairs": len(planted_truth),

@@ -274,3 +274,96 @@ def test_lsh_blocking_radius_covers_scorer_reach(spark) -> None:
     recall = len(truth & in_sample) / len(truth)
     assert recall >= 0.9, f"blocking recall {recall:.3f} vs sampled oracle"
     assert not in_sample - truth  # rescore ⇒ no false positives
+
+
+def _ub_replica(a: str, b: str) -> float:
+    """Straight-line replica of prefilter_fuzzy_pairs' WRatio bound."""
+    from collections import Counter
+
+    pa, pb = default_process(a), default_process(b)
+    la, lb = len(pa), len(pb)
+    if la == 0 or lb == 0:
+        return 0.0
+    ca, cb = Counter(pa), Counter(pb)
+    bagint = sum(min(ca[c], cb[c]) for c in ca)
+    ls, ll = min(la, lb), max(la, lb)
+    base = 2.0 * bagint / (la + lb)
+    lr = ll / ls
+    scale = 0.6 if lr >= 8 else (0.9 if lr >= 1.5 else 0.0)
+    return max(base, scale * bagint / ls)
+
+
+def test_prefilter_bound_dominates_wratio() -> None:
+    """The prefilter's upper bound must dominate the scorer on ANY input
+    (the zero-recall-loss claim) — randomized + adversarial corners."""
+    import random as _r
+
+    from neo4j_graphrag_python_spark.functions.fuzz import wratio
+
+    rng = _r.Random(23)
+    alpha = "ab c1-"
+    cases = [
+        ("John Smith", "Jon Smith"),
+        ("q w e", "q w e x"),          # token-subset, lr < 1.5
+        ("q w e r t", "q w e r t x x x x x x x x"),  # subset, lr >= 1.5
+        ("ab", "ab" * 10),             # lr >= 8 branch
+        ("", "x"), ("!!", "??"),       # empty-after-processing
+    ]
+    cases += [
+        (
+            "".join(rng.choice(alpha) for _ in range(rng.randint(0, 14))),
+            "".join(rng.choice(alpha) for _ in range(rng.randint(0, 14))),
+        )
+        for _ in range(400)
+    ]
+    for a, b in cases:
+        w = wratio(default_process(a), default_process(b))
+        ub = _ub_replica(a, b)
+        assert ub >= w - 1e-12, (a, b, w, ub)
+
+
+def test_prefilter_spark_matches_replica_and_is_lossless(spark) -> None:
+    """The Spark-side bound equals the replica per pair, and
+    resolve_similarity's result is IDENTICAL with the prefilter on/off
+    while the Python scorer sees strictly fewer pairs."""
+    from neo4j_graphrag_python_spark.operators.resolver import (
+        _resolve_texts,
+        candidate_pairs_lsh,
+        prefilter_fuzzy_pairs,
+    )
+
+    rows = [
+        ("a:0", "Person", "John Smith", 0),
+        ("b:0", "Person", "Jon Smith", 1),
+        ("c:0", "Person", "Smith John workshop", 0),
+        ("d:0", "Person", "J S", 2),
+        ("e:0", "Person", "Johnny Smithee", 3),
+        ("f:0", "Person", "xxnothing aliketh", 1),
+        ("g:0", "Person", "John Smith " + "padding " * 6, 4),
+    ]
+    nodes = nodes_df(spark, rows)
+    texts = _resolve_texts(nodes, ["name"])
+    pairs = candidate_pairs_lsh(texts)
+    n_before = pairs.count()
+    kept = prefilter_fuzzy_pairs(pairs, texts, 0.8)
+    got = {(r["id_a"], r["id_b"]) for r in kept.collect()}
+    names = {i: nm for i, _, nm, _ in rows}
+    exp = {
+        (r["id_a"], r["id_b"])
+        for r in pairs.collect()
+        if _ub_replica(names[r["id_a"]], names[r["id_b"]]) >= 0.8
+    }
+    assert got == exp
+    assert len(got) < n_before  # it actually prunes something here
+
+    edges = edges_df(spark, [("b:0", "c:0", "KNOWS")])
+    on = resolve_similarity(
+        nodes, edges, method="fuzzy", similarity_threshold=0.8, prefilter=True
+    )
+    off = resolve_similarity(
+        nodes, edges, method="fuzzy", similarity_threshold=0.8, prefilter=False
+    )
+    assert sorted(r["id"] for r in on[0].collect()) == sorted(
+        r["id"] for r in off[0].collect()
+    )
+    assert sorted(map(str, on[1].collect())) == sorted(map(str, off[1].collect()))

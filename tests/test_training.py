@@ -152,3 +152,121 @@ def test_property_matches_replica(spark, docs, ybits, lr):
         ).collect()
     }
     assert got == _straight_line(rows, labels, set(vocab), 2, lr, -0.2)
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training
+# ---------------------------------------------------------------------------
+
+
+def _bpe_replica(texts, k):
+    """Straight-line Sennrich alg. 1: word counts -> k iterations of
+    (overlap-counting pair argmax, left-to-right non-overlapping apply)."""
+    from collections import Counter
+
+    words = Counter()
+    for t in texts:
+        for w in t.lower().split():
+            if w:
+                words[w] += 1
+    state = {tuple(list(w) + ["</w>"]): c for w, c in words.items()}
+    merges = []
+    for _ in range(k):
+        pc = Counter()
+        for syms, c in state.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += c
+        if not pc:
+            break
+        (a, b), c = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((a, b, c))
+        new_state = {}
+        for syms, cnt in state.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_state[tuple(out)] = new_state.get(tuple(out), 0) + cnt
+        state = new_state
+    return merges
+
+
+def test_bpe_train_matches_replica(spark) -> None:
+    from neo4j_graphrag_python_spark.operators.training import (
+        bpe_train_merges,
+    )
+
+    texts = [
+        "low low low lower lowest",
+        "new newer newest low",
+        "wider wide widest new",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    out, merges = bpe_train_merges(df, num_merges=8)
+    exp = _bpe_replica(texts, 8)
+    assert merges == exp
+    rows = sorted(out.collect(), key=lambda r: r["rank"])
+    assert [(r["left"], r["right"], r["pair_count"]) for r in rows] == exp
+
+
+def test_bpe_overlap_counting_and_greedy_apply(spark) -> None:
+    """'x x x x' has THREE overlapping (x,x) pairs per occurrence chain
+    (subword-nmt counting) but merging leaves [xx, xx] (left-to-right
+    non-overlapping) — and a pair never matches a longer symbol that
+    merely starts with its right side."""
+    from neo4j_graphrag_python_spark.operators.training import (
+        bpe_encode,
+        bpe_train_merges,
+    )
+
+    df = spark.createDataFrame([(1, "xxxx xxxx by")], ["doc_id", "text"])
+    out, merges = bpe_train_merges(df, num_merges=1)
+    assert merges[0][:2] == ("x", "x") and merges[0][2] == 6  # 3 per word
+    enc = {r["id"]: r["symbols"] for r in bpe_encode(df, merges).collect()}
+    assert enc[1] == ["xx", "xx", "</w>", "xx", "xx", "</w>", "b", "y", "</w>"]
+
+
+def test_bpe_encode_roundtrip(spark) -> None:
+    """Decoding = concat symbols and split on </w>: must reproduce the
+    lowercase whitespace tokens byte-exactly for every doc — merges can
+    never cross a word boundary."""
+    from neo4j_graphrag_python_spark.operators.training import (
+        bpe_encode,
+        bpe_train_merges,
+    )
+
+    texts = [
+        "The quick brown fox jumps over the lazy dog",
+        "pack my box with five dozen liquor jugs",
+        "  lowest lower low  ",
+        "",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    _, merges = bpe_train_merges(df, num_merges=12)
+    assert len(merges) == 12
+    enc = {r["id"]: r for r in bpe_encode(df, merges).collect()}
+    for i, t in enumerate(texts):
+        joined = "".join(enc[i]["symbols"])
+        decoded = [w for w in joined.split("</w>") if w != ""]
+        assert decoded == t.lower().split(), (i, t)
+    # merges compress: fewer symbols than characters for real text
+    assert enc[0]["n_bpe_tokens"] < len(texts[0])
+
+
+def test_bpe_exhausts_pairs_gracefully(spark) -> None:
+    from neo4j_graphrag_python_spark.operators.training import (
+        bpe_train_merges,
+    )
+
+    df = spark.createDataFrame([(1, "ab")], ["doc_id", "text"])
+    # "ab" -> [a, b, </w>]: only 2+1 merges possible before one symbol
+    out, merges = bpe_train_merges(df, num_merges=10)
+    assert len(merges) < 10 and out.count() == len(merges)
