@@ -38,9 +38,9 @@ in one pass):
 Honest limits (same as the reference's incremental resolver): fuzzy
 adoption matches new keys against what is ALREADY stored, so which of
 two fuzzy-equivalent names becomes the canonical depends on arrival
-order, and two existing canonicals are never retroactively merged — that
-consolidation is a periodic offline compaction (run the batch
-``resolve_similarity`` over the canonical nodes), not a per-batch job.
+order, and the per-batch job never retroactively merges two existing
+canonicals — that consolidation is :func:`compact_canonicals`, the
+periodic offline job at the bottom of this module.
 
 Scale shape: the per-batch work is one groupBy of the batch's mentions,
 one equi-join against the canonical map (Iceberg MERGE touches only
@@ -371,3 +371,102 @@ def _repoint_edges(
     if passthrough is not None:
         merged = merged.unionByName(passthrough.select(*out_cols))
     return merged
+
+
+def compact_canonicals(
+    spark,
+    target: str,
+    similarity_threshold: float = 0.8,
+    file_format: str = "parquet",
+    untouched_edge_types: tuple[str, ...] = ("NEXT_CHUNK", "FROM_DOCUMENT"),
+) -> dict:
+    """Periodic OFFLINE consolidation of already-stored canonicals — the
+    compaction job the per-batch resolver deliberately defers (two
+    fuzzy-equivalent names that became separate canonicals in different
+    batches are never re-merged per batch; the reference's DB resolver
+    has the same property).
+
+    Runs the batch fuzzy machinery over the STORED canonical entity
+    nodes (LSH blocking → exact-UB prefilter → WRatio → connected
+    components), picks each cluster's keeper as the lexicographically
+    minimal canonical id (content hashes — deterministic, so compaction
+    commutes with itself), rewrites the nodes/edges tables through the
+    merge mapping, and re-points every canonical-map row of a merged-away
+    canonical to its keeper (the loser's keys become aliases of the
+    keeper, so FUTURE mentions of those names adopt the keeper
+    directly).  Returns counters; a second run is a no-op (idempotent —
+    asserted in tests).
+
+    Scale shape: input is the CANONICAL table (entities after
+    dedup — orders of magnitude below mention count); blocking, scoring
+    and components are the measured 10⁵-name pipeline; the table
+    rewrite is one MERGE-shaped pass per table.
+    """
+    from neo4j_graphrag_python_spark.functions.fuzz import HAVE_RAPIDFUZZ
+    from neo4j_graphrag_python_spark.operators.resolver import (
+        _resolve_texts,
+        apply_merge_mapping,
+        connected_components,
+    )
+    from neo4j_graphrag_python_spark.sources.catalog import (
+        write_catalog_table,
+    )
+
+    nodes = spark.read.table(f"{target}_nodes")
+    edges = spark.read.table(f"{target}_edges")
+    canon = spark.read.table(f"{target}_canon")
+
+    texts = _resolve_texts(nodes, ["name"]).persist()
+    pairs = candidate_pairs_lsh(texts)
+    if not HAVE_RAPIDFUZZ:
+        pairs = prefilter_fuzzy_pairs(pairs, texts, similarity_threshold)
+    matches = score_pairs_fuzzy(pairs).where(
+        F.col("similarity") >= F.lit(similarity_threshold)
+    )
+    comp = connected_components(matches.select("id_a", "id_b"))
+    # keeper = min canonical id per component: content hashes carry no
+    # arrival order, so min() is the deterministic, idempotent choice
+    rep = comp.groupBy("canonical_id").agg(F.min("id").alias("rep_id"))
+    mapping = (
+        comp.join(rep, "canonical_id")
+        .select("id", F.col("rep_id").alias("canonical_id"))
+        .localCheckpoint(eager=True)
+    )
+    n_merged = mapping.where(F.col("id") != F.col("canonical_id")).count()
+    if n_merged == 0:
+        texts.unpersist()
+        return {"merged_canonicals": 0}
+
+    new_nodes, new_edges = apply_merge_mapping(
+        nodes, edges, mapping, untouched_types=untouched_edge_types
+    )
+    m = mapping.where(F.col("id") != F.col("canonical_id")).select(
+        F.col("id").alias("_from"), F.col("canonical_id").alias("_to")
+    )
+    new_canon = (
+        canon.join(m, canon.canonical_id == m._from, "left")
+        .select(
+            "label",
+            "key",
+            F.coalesce(F.col("_to"), F.col("canonical_id")).alias(
+                "canonical_id"
+            ),
+            "ord_ci",
+            "ord_id",
+            # a re-pointed key is now an ALIAS of the keeper: it must
+            # never steal the keeper's property bag later
+            F.when(F.col("_to").isNotNull(), F.lit(True))
+            .otherwise(F.col("is_alias"))
+            .alias("is_alias"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    new_nodes = new_nodes.localCheckpoint(eager=True)
+    new_edges = new_edges.localCheckpoint(eager=True)
+    write_catalog_table(new_nodes, f"{target}_nodes", "create_or_replace", file_format)
+    write_catalog_table(new_edges, f"{target}_edges", "create_or_replace", file_format)
+    write_catalog_table(new_canon, f"{target}_canon", "create_or_replace", file_format)
+    for t in (f"{target}_nodes", f"{target}_edges", f"{target}_canon"):
+        spark.catalog.refreshTable(t)
+    texts.unpersist()
+    return {"merged_canonicals": n_merged}

@@ -302,3 +302,69 @@ def test_incremental_stream_trigger_sizes_converge(spark, fresh_db, tmp_path):
         }
     assert results["small"] == results["big"]
     assert len(results["small"]["_nodes"]) > 0
+
+
+def test_compact_canonicals_merges_and_is_idempotent(spark, fresh_db):
+    """Two fuzzy-equivalent names that became SEPARATE canonicals (they
+    arrived in different batches with fuzzy adoption off) consolidate in
+    the offline compaction: one canonical node survives, edges re-point,
+    the loser's keys become aliases, and a re-run is a no-op."""
+    from neo4j_graphrag_python_spark.streaming.incremental import (
+        compact_canonicals,
+    )
+
+    t = f"{fresh_db}.kg_compact"
+    resolve_batch_incremental(
+        _nodes(spark, [("m1", "Person", True, "John Smith", 0, "c1", "u1"),
+                       ("m2", "Org", True, "Acme", 0, "c1", "u1")]),
+        _edges(spark, [("m1", "m2", "WORKS_AT", "c1", "u1")]),
+        t,
+    )
+    # batch 2 is self-contained (pipeline batches always are): its own
+    # Acme mention m4 resolves to the stored Acme canonical
+    resolve_batch_incremental(
+        _nodes(spark, [("m3", "Person", True, "Jon Smith", 0, "c2", "u2"),
+                       ("m4", "Org", True, "Acme", 5, "c2", "u2")]),
+        _edges(spark, [("m3", "m4", "WORKS_AT", "c2", "u2")]),
+        t,
+    )
+    canon0 = {(r.label, r.key): r.canonical_id
+              for r in spark.read.table(f"{t}_canon").collect()}
+    assert canon0[("Person", "John Smith")] != canon0[("Person", "Jon Smith")]
+
+    stats = compact_canonicals(spark, t, similarity_threshold=0.8)
+    assert stats["merged_canonicals"] == 1
+
+    nodes = spark.read.table(f"{t}_nodes").collect()
+    names = sorted(r.properties["name"] for r in nodes if r.is_entity)
+    assert len([n for n in names if "Smith" in n]) == 1
+    keeper = min(canon0[("Person", "John Smith")],
+                 canon0[("Person", "Jon Smith")])
+    canon1 = {(r.label, r.key): (r.canonical_id, r.is_alias)
+              for r in spark.read.table(f"{t}_canon").collect()}
+    assert canon1[("Person", "John Smith")][0] == keeper
+    assert canon1[("Person", "Jon Smith")][0] == keeper
+    # exactly one of the two Smith keys is the (non-alias) primary now
+    assert sorted(
+        canon1[k][1] for k in (("Person", "John Smith"), ("Person", "Jon Smith"))
+    ) == [False, True]
+    # both WORKS_AT edges collapsed onto the keeper
+    edges = spark.read.table(f"{t}_edges").collect()
+    wa = [e for e in edges if e.type == "WORKS_AT"]
+    assert len(wa) == 1 and wa[0].start_node_id == keeper
+
+    # idempotent: a second compaction merges nothing and changes nothing
+    before = {s: _table_rows(spark, t + s)
+              for s in ("_nodes", "_edges", "_canon")}
+    assert compact_canonicals(spark, t)["merged_canonicals"] == 0
+    after = {s: _table_rows(spark, t + s)
+             for s in ("_nodes", "_edges", "_canon")}
+    assert before == after
+
+    # and a FUTURE mention of the merged-away name exact-adopts the keeper
+    stats3 = resolve_batch_incremental(
+        _nodes(spark, [("m9", "Person", True, "Jon Smith", 7, "c9", "u9")]),
+        _edges(spark, []),
+        t,
+    )
+    assert stats3["exact_adopted"] == 1 and stats3["new_canonicals"] == 0
