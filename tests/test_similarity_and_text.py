@@ -1228,3 +1228,42 @@ def test_linear_quality_classifier_broadcasts_and_drops_text(spark) -> None:
     )
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan, plan
     assert "partial_count" in plan or "partial" in plan.lower(), plan
+
+
+def test_ivfpq_partitioned_code_table_prunes_probes(spark, tmp_path) -> None:
+    """The 10^9-vector operating shape: the (id, codes, bucket) table
+    written bucket-partitioned makes the probe filter PARTITION PRUNING —
+    the ADC scan reads only probed cells' files, and the result equals
+    the in-memory path exactly."""
+    import random as _r
+
+    from neo4j_graphrag_python_spark.operators.similarity import (
+        build_ivfpq_index,
+        read_ann_index,
+        topk_ivfpq,
+        write_ann_index,
+    )
+
+    rng = _r.Random(31)
+    centers = [[rng.gauss(0, 1) for _ in range(16)] for _ in range(4)]
+    rows = [
+        (i, [x + rng.gauss(0, 0.3) for x in centers[i % 4]])
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    coded, cents, books = build_ivfpq_index(
+        df, num_centroids=4, m=4, pq_centroids=8, sample_n=300
+    )
+    path = str(tmp_path / "ivfpq_codes")
+    write_ann_index(coded, path)
+    disk = read_ann_index(spark, path)
+    q = rows[5][1]
+    mem = topk_ivfpq(coded, df, cents, books, q, k=5, nprobe=2, rescore=80)
+    dsk = topk_ivfpq(disk, df, cents, books, q, k=5, nprobe=2, rescore=80)
+    assert mem.collect() == dsk.collect()
+    # the probe filter reaches the scan as partition pruning
+    probe_plan = (
+        disk.where(F.col("bucket").isin([0, 1]))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters" in probe_plan and "bucket" in probe_plan
