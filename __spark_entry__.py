@@ -223,6 +223,8 @@ EIVF_THRESHOLD, EIVF_C, EIVF_NPROBE = 0.4, 16, 8
 PACK_SEQ_LEN = 512
 # BPE tokenizer training: merges learned from the corpus
 BPE_MERGES = 10
+# leakage-safe split: holdout fraction (drawn per near-dup COMPONENT)
+SPLIT_HOLDOUT_FRAC = 0.1
 # linear quality classifier: pinned demo model (token, weight) — weights
 # are multiples of 1e-6 so the scaled-long sum is exact in any fold order
 QUALITY_VOCAB: list[tuple[str, float]] = [
@@ -1361,6 +1363,25 @@ def q_dedup_minhash_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontaminated train/holdout split: near-dup components (over the
+    value-pinned minhash pairs) assigned to a side by ONE md5 draw per
+    component — near-duplicates can never straddle the split.  Oracle:
+    the recursive-CTE transitive closure over the pair fixture plus the
+    identical md5 unit-interval arithmetic (the temperature-mix
+    pattern), so component ids, sides, and membership are all under the
+    hash check."""
+    from neo4j_graphrag_python_spark.operators.sampling import (
+        leakage_safe_split,
+    )
+
+    pairs = q_dedup_minhash_pairs(spark, sf_dir).select("id_a", "id_b")
+    docs = _read(spark, sf_dir, "documents")
+    return leakage_safe_split(
+        docs, pairs, holdout_frac=SPLIT_HOLDOUT_FRAC
+    ).withColumnRenamed("id", "doc_id")
+
+
 def q_embedding_neardup_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The threshold-aware near-dup dispatcher at the moderate threshold:
     p_noise(0.4) ≈ 0.52 > 1% abandons sign-LSH, and at sf0.01's corpus
@@ -1736,6 +1757,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup_ivf": q_embedding_neardup_ivf,
         "embedding_neardup_auto": q_embedding_neardup_auto,
         "dedup_minhash_assign": q_dedup_minhash_assign,
+        "corpus_split_leakage_safe": q_corpus_split_leakage_safe,
         "ann_knn_join": q_ann_knn_join,
         "doc_fingerprints": q_doc_fingerprints,
         "doc_pii_scrub": q_doc_pii_scrub,
@@ -2045,6 +2067,29 @@ WITH RECURSIVE p AS (
 )
 SELECT d.doc_id, coalesce(c.keeper_id, d.doc_id) AS keeper_id
 FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+""",
+        "corpus_split_leakage_safe": f"""
+WITH RECURSIVE p AS (
+  SELECT id_a, id_b FROM read_parquet('{MINHASH_FIXTURE}')
+), e AS (
+  SELECT id_a AS a, id_b AS b FROM p
+  UNION ALL
+  SELECT id_b AS a, id_a AS b FROM p
+), reach(node, root) AS (
+  SELECT DISTINCT a, a FROM e
+  UNION
+  SELECT e.b, r.root FROM reach r JOIN e ON e.a = r.node
+), comp AS (
+  SELECT node AS doc_id, min(root) AS component_id FROM reach GROUP BY node
+), assigned AS (
+  SELECT d.doc_id, coalesce(c.component_id, d.doc_id) AS component_id
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+)
+SELECT doc_id, component_id,
+       CASE WHEN CAST(('0x' || substr(md5(CAST(component_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                 / 4294967296.0 < {SPLIT_HOLDOUT_FRAC}
+            THEN 'holdout' ELSE 'train' END AS split
+FROM assigned
 """,
         # blocked-GEMM exact via the dispatcher — bit-identical to
         # all-pairs by construction (GEMM prunes, fold-order cosine rescores)

@@ -166,3 +166,49 @@ def corpus_stats_rollup(
         "n_chars",
         "n_tokens",
     )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    near_dup_pairs: DataFrame,
+    holdout_frac: float,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Train/holdout split that near-duplicates can NEVER straddle — the
+    decontaminated-split step every training pipeline needs after
+    near-dup discovery (a near-dup of a holdout doc in the training set
+    is leakage; random per-doc splits produce exactly that).
+
+    Shape: connected components over the near-dup pairs (the same
+    min-label propagation as dedup assignment — clusters are tiny after
+    blocking), each doc labeled by its component's min id (docs in no
+    pair are their own component), then ONE deterministic md5 draw per
+    COMPONENT decides the side — so every member of a component lands
+    together by construction, re-runs/retries/engines agree (the md5
+    unit-interval trick of :func:`deterministic_sample`), and the
+    realized holdout fraction concentrates around ``holdout_frac``
+    because components are almost all singletons in a deduped corpus.
+
+    → (id, component_id, split∈{'train','holdout'}), one row per input
+    doc.  At 100 TB: components shuffle bare id pairs; the final label
+    is a partition-local projection after one equi-join of docs against
+    the component map.
+    """
+    if not 0.0 <= holdout_frac <= 1.0:
+        raise ValueError("holdout_frac must be in [0, 1]")
+    from neo4j_graphrag_python_spark.operators.resolver import (
+        connected_components,
+    )
+
+    comp = connected_components(near_dup_pairs.select("id_a", "id_b"))
+    docs = df.select(F.col(id_col).alias("id"))
+    assigned = docs.join(comp, "id", "left").select(
+        "id", F.coalesce("canonical_id", "id").alias("component_id")
+    )
+    side = F.when(
+        _hash_unit(F.col("component_id").cast("string"), salt)
+        < F.lit(float(holdout_frac)),
+        F.lit("holdout"),
+    ).otherwise(F.lit("train"))
+    return assigned.select("id", "component_id", side.alias("split"))

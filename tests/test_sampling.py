@@ -164,3 +164,46 @@ def test_temperature_mix_rate_capped_at_one(spark) -> None:
     )
     assert all(r["rate"] == 1.0 for r in rates.collect())
     assert mixed.count() == 30
+
+
+def test_leakage_safe_split_pairs_never_straddle(spark) -> None:
+    """Every near-dup pair (and its transitive closure) lands on ONE
+    side; singletons split ~holdout_frac; the draw is deterministic."""
+    import random as _r
+
+    from neo4j_graphrag_python_spark.operators.sampling import (
+        leakage_safe_split,
+    )
+
+    rng = _r.Random(5)
+    n = 2000
+    docs = spark.createDataFrame([(i,) for i in range(n)], ["doc_id"])
+    # chains of near-dups: 200 random pairs (some overlapping -> bigger
+    # transitive components)
+    prs = [(a, a + rng.randint(1, 3)) for a in rng.sample(range(n - 3), 200)]
+    pairs = spark.createDataFrame(prs, ["id_a", "id_b"])
+    out = leakage_safe_split(docs, pairs, holdout_frac=0.2)
+    rows = {r["id"]: (r["component_id"], r["split"]) for r in out.collect()}
+    assert len(rows) == n
+    for a, b in prs:
+        assert rows[a] == rows[b], (a, b)  # same component AND same side
+    frac = sum(1 for v in rows.values() if v[1] == "holdout") / n
+    assert 0.12 < frac < 0.28
+    # deterministic: identical on re-run
+    again = {
+        r["id"]: (r["component_id"], r["split"])
+        for r in leakage_safe_split(docs, pairs, holdout_frac=0.2).collect()
+    }
+    assert again == rows
+    # a different salt draws an independent split
+    other = {
+        r["id"]: r["split"]
+        for r in leakage_safe_split(
+            docs, pairs, holdout_frac=0.2, salt="v2"
+        ).collect()
+    }
+    assert any(other[i] != rows[i][1] for i in rows)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        leakage_safe_split(docs, pairs, holdout_frac=1.5)
