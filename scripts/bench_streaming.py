@@ -7,8 +7,10 @@ wall, and transcript-rows/sec + triples/sec — the number the streaming
 design claims have lacked (state survival is tested in
 tests/test_stateful_stream.py; this is the speed face).
 
-Usage: python scripts/bench_streaming.py [sf] [n_files] [files_per_trigger]
-  (defaults 0.1 64 8)
+Usage: python scripts/bench_streaming.py [sf] [n_files] [files_per_trigger] [sink]
+  (defaults 0.1 64 8 parquet_append; sink ∈ parquet_append / catalog_merge /
+   catalog_merge_incremental — the catalog sinks measure the per-batch
+   MERGE/resolution overhead on top of the same pipeline)
 """
 
 from __future__ import annotations
@@ -43,6 +45,7 @@ def main() -> None:
     sf = sys.argv[1] if len(sys.argv) > 1 else "0.1"
     n_files = int(sys.argv[2]) if len(sys.argv) > 2 else 64
     per_trigger = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+    sink = sys.argv[4] if len(sys.argv) > 4 else "parquet_append"
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     spark = build_spark(
         "bench-stream", master=f"local[{cpus}]", shuffle_partitions=cpus
@@ -65,26 +68,44 @@ def main() -> None:
         stream = read_transcript_stream(
             spark, feed, max_files_per_trigger=per_trigger
         )
+        db = None
+        if sink == "parquet_append":
+            out = str(work / "out")
+        else:
+            # unique db per run: a crashed earlier run can orphan the
+            # managed-table location, which CREATE then refuses
+            db = f"bench_stream_{os.getpid()}"
+            spark.sql(f"CREATE DATABASE {db}")
+            out = f"{db}.kg"
         t0 = time.time()
         q = stream_kg_pipeline(
             stream,
             regex_extractor(demo_rules()),
-            output_dir=str(work / "out"),
+            output_dir=out,
             checkpoint_dir=str(work / "ckpt"),
             schema=demo_schema(),
             trigger_once=True,
+            sink=sink,
+            incremental_fuzzy_threshold=(
+                0.8 if sink == "catalog_merge_incremental" else None
+            ),
         )
         q.awaitTermination()
         wall = round(time.time() - t0, 2)
         batches = q.lastProgress["batchId"] + 1 if q.lastProgress else 0
 
-        nodes = spark.read.parquet(str(work / "out" / "nodes"))
-        edges = spark.read.parquet(str(work / "out" / "edges"))
+        if sink == "parquet_append":
+            nodes = spark.read.parquet(str(work / "out" / "nodes"))
+            edges = spark.read.parquet(str(work / "out" / "edges"))
+        else:
+            nodes = spark.read.table(f"{out}_nodes")
+            edges = spark.read.table(f"{out}_edges")
         n_nodes, n_edges = nodes.count(), edges.count()
         print(
             json.dumps(
                 {
                     "sf": sf,
+                    "sink": sink,
                     "transcript_rows": n_rows,
                     "conversations": n_convs,
                     "feed_files": n_files,
@@ -101,6 +122,8 @@ def main() -> None:
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)
+        if db is not None:
+            spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
     spark.stop()
 
 
