@@ -317,30 +317,15 @@ def _resolve_texts(nodes: DataFrame, resolve_properties: list[str]) -> DataFrame
     )
 
 
-def _lsh_candidates_raw(
-    texts: DataFrame,
-    num_hash_tables: int = 8,
-    jaccard_distance: float = 0.7,
-) -> DataFrame:
-    """approxSimilarityJoin output (datasetA/datasetB structs) for
-    :func:`candidate_pairs_lsh` — split out so tests can assert that the
-    blocking itself never produces cross-label candidates.
-
-    Label-aware blocking: each character 3-gram is prefixed with the
-    node's label (one JVM ``transform`` HOF), so gram sets of
-    different-label texts are DISJOINT — a cross-label homonym pair
-    ("Washington" the Person vs "Washington" the Location) has true
-    Jaccard 0 and is eliminated by the distance filter even when a
-    MinHash table happens to collide.  Same-label pairs see a bijective
-    gram renaming, so their Jaccard (and therefore blocking recall) is
-    exactly what it was without the prefix.
-    """
-    from pyspark.ml.feature import (
-        HashingTF,
-        MinHashLSH,
-        NGram,
-        RegexTokenizer,
-    )
+def stage_lsh_features(texts: DataFrame) -> DataFrame:
+    """texts(id, label, text, …) → (…, features) — the deterministic,
+    STATELESS front half of the LSH blocking (char 3-grams,
+    label-prefixed, hashed by a fixed HashingTF).  Because every step is
+    a pure function of the row, staged features can be PERSISTED and
+    reused across jobs/batches (the incremental resolver's cached
+    signature table) — re-staging is never required for correctness,
+    only freshness of the row set."""
+    from pyspark.ml.feature import HashingTF, NGram, RegexTokenizer
 
     chars = RegexTokenizer(
         inputCol="norm",
@@ -352,9 +337,6 @@ def _lsh_candidates_raw(
     )
     grams = NGram(n=3, inputCol="chars", outputCol="raw_grams")
     tf = HashingTF(inputCol="grams", outputCol="features", numFeatures=1 << 18)
-    lsh = MinHashLSH(
-        inputCol="features", outputCol="hashes", numHashTables=num_hash_tables, seed=42
-    )
 
     base = texts.withColumn("norm", F.lower(F.col("text")))
     # pad so strings shorter than 3 chars still produce one gram
@@ -370,10 +352,78 @@ def _lsh_candidates_raw(
         F.transform("raw_grams", lambda g: F.concat(F.col("label"), F.lit(":"), g)),
     )
     staged = tf.transform(grammed)
-    staged = staged.where(F.size("grams") > 0)
-    model = lsh.fit(staged)
+    return staged.where(F.size("grams") > 0).drop(
+        "norm", "chars", "raw_grams", "grams"
+    )
+
+
+def _lsh_model(staged: DataFrame, num_hash_tables: int):
+    """Seed-only MinHash model: the coefficients are drawn from the
+    fixed seed, NOT from the data — fit() on any schema-compatible frame
+    yields identical hash functions, which is what makes two-sided joins
+    against a PERSISTED staged side well-defined."""
+    from pyspark.ml.feature import MinHashLSH
+
+    return MinHashLSH(
+        inputCol="features",
+        outputCol="hashes",
+        numHashTables=num_hash_tables,
+        seed=42,
+    ).fit(staged)
+
+
+def _lsh_candidates_raw(
+    texts: DataFrame,
+    num_hash_tables: int = 8,
+    jaccard_distance: float = 0.7,
+) -> DataFrame:
+    """approxSimilarityJoin output (datasetA/datasetB structs) for
+    :func:`candidate_pairs_lsh` — split out so tests can assert that the
+    blocking itself never produces cross-label candidates.
+
+    Label-aware blocking: each character 3-gram is prefixed with the
+    node's label (inside :func:`stage_lsh_features`), so gram sets of
+    different-label texts are DISJOINT — a cross-label homonym pair
+    ("Washington" the Person vs "Washington" the Location) has true
+    Jaccard 0 and is eliminated by the distance filter even when a
+    MinHash table happens to collide.  Same-label pairs see a bijective
+    gram renaming, so their Jaccard (and therefore blocking recall) is
+    exactly what it was without the prefix.
+    """
+    staged = stage_lsh_features(texts)
+    model = _lsh_model(staged, num_hash_tables)
     return model.approxSimilarityJoin(
         staged, staged, jaccard_distance, distCol="jaccard_dist"
+    )
+
+
+def candidate_pairs_lsh_between(
+    staged_a: DataFrame,
+    staged_b: DataFrame,
+    num_hash_tables: int = 12,
+    jaccard_distance: float = 0.8,
+) -> DataFrame:
+    """Cross-side LSH candidate blocking between two PRE-STAGED frames
+    (outputs of :func:`stage_lsh_features`, possibly read back from a
+    persisted table) → (label, id_a from A, id_b from B, text_a,
+    text_b).  The hash functions are seed-only, so a side staged in an
+    earlier job blocks identically to one staged now — the incremental
+    resolver keeps its stored canonical keys staged ONCE instead of
+    re-tokenizing/hashing them every micro-batch."""
+    model = _lsh_model(staged_a, num_hash_tables)
+    joined = model.approxSimilarityJoin(
+        staged_a, staged_b, jaccard_distance, distCol="jaccard_dist"
+    )
+    return (
+        joined.where(F.col("datasetA.label") == F.col("datasetB.label"))
+        .select(
+            F.col("datasetA.label").alias("label"),
+            F.col("datasetA.id").alias("id_a"),
+            F.col("datasetB.id").alias("id_b"),
+            F.col("datasetA.text").alias("text_a"),
+            F.col("datasetB.text").alias("text_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 

@@ -45,10 +45,14 @@ periodic offline job at the bottom of this module.
 Scale shape: the per-batch work is one groupBy of the batch's mentions,
 one equi-join against the canonical map (Iceberg MERGE touches only
 key-overlapping files; AQE broadcasts the batch side), and bounded
-min-wins MERGEs.  The optional fuzzy tier re-blocks the stored keys per
-batch in this sandbox; at production scale the stored side's MinHash
-signatures would be a maintained table instead of refit per trigger —
-the blocking/scoring operators are unchanged, only their input caching.
+min-wins MERGEs.  The optional fuzzy tier blocks two-sided against a
+MAINTAINED feature table (``{target}_canon_feats``): stored keys are
+tokenized/hashed once at registration (staging is stateless and the
+MinHash model is seed-only — resolver.stage_lsh_features), so per-batch
+fuzzy cost is the batch side's staging plus the join, independent of
+how much TEXT the canonical map holds; gaps self-heal via one narrow
+anti-join per batch, and compaction rebuilds the table (its row ids
+embed canonical ids).
 """
 
 from __future__ import annotations
@@ -58,8 +62,10 @@ from pyspark.sql import Column, DataFrame, functions as F
 from neo4j_graphrag_python_spark.operators.resolver import (
     _order_key,
     candidate_pairs_lsh,
+    candidate_pairs_lsh_between,
     prefilter_fuzzy_pairs,
     score_pairs_fuzzy,
+    stage_lsh_features,
 )
 from neo4j_graphrag_python_spark.sources.catalog import merge_upsert
 
@@ -83,6 +89,7 @@ def resolve_batch_incremental(
     fuzzy_threshold: float | None = None,
     file_format: str = "parquet",
     untouched_edge_types: tuple[str, ...] = ("NEXT_CHUNK", "FROM_DOCUMENT"),
+    use_feature_cache: bool = True,
 ) -> dict:
     """Resolve one micro-batch's graph against the persistent canonical
     map and MERGE the results into ``{target}_nodes`` / ``_edges`` /
@@ -91,6 +98,12 @@ def resolve_batch_incremental(
     ``nodes``/``edges`` are a batch pipeline output (in-batch resolved).
     Entity mentions re-point to stable canonical ids; non-entity nodes
     (chunks/documents — already content-addressed) pass through.
+
+    ``use_feature_cache`` (fuzzy tier only): stored keys' LSH features
+    are staged ONCE at registration into ``{target}_canon_feats`` and
+    every later batch blocks against the persisted table — per-batch
+    fuzzy cost stops depending on the size of the canonical map's text
+    (only the batch side is re-staged).
     """
     spark = nodes.sparkSession
     canon_tbl = f"{target}_canon"
@@ -138,7 +151,43 @@ def resolve_batch_incremental(
     n_fuzzy = 0
     fuzzy_adopt = None
     if fuzzy_threshold is not None and not stored.isEmpty():
-        fuzzy_adopt = _fuzzy_adopt(missing, stored, fuzzy_threshold)
+        staged_stored = None
+        feats_tbl = f"{target}_canon_feats"
+        if use_feature_cache:
+            if not spark.catalog.tableExists(feats_tbl):
+                # bootstrap: stage the whole (so-far) map once — covers
+                # keys registered before fuzzy/the cache was enabled
+                ensure_canon_features(
+                    spark,
+                    target,
+                    stored.select("label", "key", "canonical_id"),
+                    file_format,
+                )
+            # replays append identical rows — dedupe on the synthetic id
+            staged_stored = spark.read.table(feats_tbl).dropDuplicates(["id"])
+            # self-heal: keys registered while the cache was off (or by
+            # an external writer) are staged and appended now — one
+            # anti-join of the (narrow) canonical map per batch
+            gap = stored.join(
+                staged_stored.select(
+                    "label", F.col("text").alias("key")
+                ).dropDuplicates(["label", "key"]),
+                ["label", "key"],
+                "left_anti",
+            )
+            if not gap.isEmpty():
+                ensure_canon_features(
+                    spark,
+                    target,
+                    gap.select("label", "key", "canonical_id"),
+                    file_format,
+                )
+                staged_stored = spark.read.table(feats_tbl).dropDuplicates(
+                    ["id"]
+                )
+        fuzzy_adopt = _fuzzy_adopt(
+            missing, stored, fuzzy_threshold, staged_stored
+        )
         if fuzzy_adopt is not None:
             fuzzy_adopt = fuzzy_adopt.localCheckpoint(eager=True)
             n_fuzzy = fuzzy_adopt.count()
@@ -263,58 +312,104 @@ def resolve_batch_incremental(
     )
     for t in (canon_tbl, f"{target}_nodes", f"{target}_edges"):
         spark.catalog.refreshTable(t)
+    if (
+        use_feature_cache
+        and fuzzy_threshold is not None
+        and not canon_delta.isEmpty()
+    ):
+        # register the NEW keys' features once, at registration time
+        ensure_canon_features(
+            spark,
+            target,
+            canon_delta.select("label", "key", "canonical_id"),
+            file_format,
+        )
     return stats
 
 
+def _stored_key_texts(stored: DataFrame) -> DataFrame:
+    """One fuzzy-target row per STORED (label, key) — aliases included
+    (a new variant may be closest to an alias spelling), with the
+    canonical id recoverable from the synthetic row id (md5 hex carries
+    no NUL, so the first NUL delimits it)."""
+    return stored.select(
+        F.concat(
+            F.lit("s:"), F.col("canonical_id"), F.lit("\x00"), F.col("key")
+        ).alias("id"),
+        "label",
+        F.col("key").alias("text"),
+    ).dropDuplicates(["id"])
+
+
+def ensure_canon_features(
+    spark, target: str, new_keys: DataFrame, file_format: str = "parquet"
+) -> None:
+    """Append staged LSH features for newly-registered canonical keys to
+    the ``{target}_canon_feats`` table — the cached-signature design:
+    :func:`stage_lsh_features` is stateless and the MinHash model is
+    seed-only, so stored keys are tokenized/hashed ONCE when registered
+    and every later micro-batch blocks against the persisted features
+    instead of re-staging the whole map (re-runs append identical rows;
+    reads dedupe by id).  ``new_keys``: (label, key, canonical_id)."""
+    staged = stage_lsh_features(_stored_key_texts(new_keys)).localCheckpoint(
+        eager=True
+    )
+    tbl = f"{target}_canon_feats"
+    if spark.catalog.tableExists(tbl):
+        staged.write.format(file_format).mode("append").saveAsTable(tbl)
+    else:
+        staged.write.format(file_format).saveAsTable(tbl)
+    spark.catalog.refreshTable(tbl)
+
+
 def _fuzzy_adopt(
-    missing: DataFrame, stored: DataFrame, threshold: float
+    missing: DataFrame,
+    stored: DataFrame,
+    threshold: float,
+    staged_stored: DataFrame | None = None,
 ) -> DataFrame | None:
     """Batch keys with no exact match, fuzzy-matched against the STORED
-    keys: LSH blocking (label-prefixed 3-grams) + WRatio scorer — the
-    batch resolver's exact machinery, with the pair universe restricted
-    to (batch × stored).  Returns (label, _k, _scid) adoptions or None."""
+    keys (primary AND alias spellings): two-sided LSH blocking
+    (label-prefixed 3-grams; the stored side pre-staged when a cached
+    feature table exists) + exact-UB prefilter + WRatio scorer — the
+    batch resolver's machinery with the pair universe restricted to
+    (batch × stored).  Returns (label, _k, _scid) adoptions or None."""
     b = missing.select(
         F.concat(F.lit("b:"), F.col("label"), F.lit("\x00"), F.col("_k")).alias("id"),
         "label",
         F.col("_k").alias("text"),
     )
-    s = stored.select(
-        F.concat(F.lit("s:"), F.col("canonical_id")).alias("id"),
-        "label",
-        F.col("key").alias("text"),
-    ).dropDuplicates(["id"])
-    texts = b.unionByName(s)
-    pairs = candidate_pairs_lsh(texts)
-    cross = pairs.where(
-        F.col("id_a").substr(1, 2) != F.col("id_b").substr(1, 2)
-    )
+    s_texts = _stored_key_texts(stored)
+    staged_b = stage_lsh_features(b)
+    if staged_stored is None:
+        staged_stored = stage_lsh_features(s_texts)
+    cross = candidate_pairs_lsh_between(staged_b, staged_stored)
     from neo4j_graphrag_python_spark.functions.fuzz import HAVE_RAPIDFUZZ
 
     if not HAVE_RAPIDFUZZ:
         # exact WRatio upper-bound cut before the Python scorer (sound
         # only for the pure-Python wratio — see prefilter_fuzzy_pairs)
-        cross = prefilter_fuzzy_pairs(cross, texts, threshold)
+        cross = prefilter_fuzzy_pairs(
+            cross, b.unionByName(s_texts), threshold
+        )
     if cross.isEmpty():
         return None
     scored = score_pairs_fuzzy(cross).where(
         F.col("similarity") >= F.lit(threshold)
     )
-    # normalize sides: (batch_id, stored_id, similarity)
-    a_is_b = F.col("id_a").startswith("b:")
+    # sides are fixed by the two-sided join: id_a = batch, id_b = stored
     norm = scored.select(
-        F.when(a_is_b, F.col("id_a")).otherwise(F.col("id_b")).alias("_bid"),
-        F.when(a_is_b, F.col("id_b")).otherwise(F.col("id_a")).alias("_sid"),
-        "similarity",
+        F.col("id_a").alias("_bid"), F.col("id_b").alias("_sid"), "similarity"
     )
     best = norm.groupBy("_bid").agg(
         F.max_by(
             F.col("_sid"), F.struct(F.col("similarity"), F.col("_sid"))
         ).alias("_sid")
     )
-    # decode the batch key from the synthetic id
+    # decode the batch key and the stored canonical id from synthetic ids
     decoded = best.select(
         F.split(F.expr("substring(_bid, 3)"), "\x00").alias("_lk"),
-        F.expr("substring(_sid, 3)").alias("_scid"),
+        F.split(F.expr("substring(_sid, 3)"), "\x00").getItem(0).alias("_scid"),
     ).select(
         F.col("_lk").getItem(0).alias("label"),
         F.col("_lk").getItem(1).alias("_k"),
@@ -468,5 +563,16 @@ def compact_canonicals(
     write_catalog_table(new_canon, f"{target}_canon", "create_or_replace", file_format)
     for t in (f"{target}_nodes", f"{target}_edges", f"{target}_canon"):
         spark.catalog.refreshTable(t)
+    # the cached feature table embeds canonical ids in its row ids —
+    # re-pointed keys make those stale, so compaction rebuilds it
+    feats_tbl = f"{target}_canon_feats"
+    if spark.catalog.tableExists(feats_tbl):
+        fresh = stage_lsh_features(
+            _stored_key_texts(new_canon)
+        ).localCheckpoint(eager=True)
+        fresh.write.format(file_format).mode("overwrite").saveAsTable(
+            feats_tbl
+        )
+        spark.catalog.refreshTable(feats_tbl)
     texts.unpersist()
     return {"merged_canonicals": n_merged}

@@ -368,3 +368,90 @@ def test_compact_canonicals_merges_and_is_idempotent(spark, fresh_db):
         t,
     )
     assert stats3["exact_adopted"] == 1 and stats3["new_canonicals"] == 0
+
+
+def test_fuzzy_feature_cache_equivalent_and_covers_aliases(spark, fresh_db):
+    """With the cached feature table the fuzzy tier adopts identically
+    to re-staging per batch; the cache holds one row per stored key
+    (alias spellings included — they are fuzzy targets too)."""
+    t_c = f"{fresh_db}.kg_cache"
+    t_n = f"{fresh_db}.kg_nocache"
+    batches = [
+        [("m1", "Person", True, "John Smith", 0, "c1", "u1")],
+        [("m2", "Person", True, "Jon Smith", 0, "c2", "u2")],   # fuzzy alias
+        [("m3", "Person", True, "Jonny Smith", 0, "c3", "u3")], # matches either
+    ]
+    for tgt, cache in ((t_c, True), (t_n, False)):
+        for i, rows in enumerate(batches):
+            resolve_batch_incremental(
+                _nodes(spark, rows), _edges(spark, []), tgt,
+                fuzzy_threshold=0.8, use_feature_cache=cache,
+            )
+    for s in ("_nodes", "_edges", "_canon"):
+        assert _table_rows(spark, t_c + s) == _table_rows(spark, t_n + s), s
+    feats = spark.read.table(f"{t_c}_canon_feats").collect()
+    canon = spark.read.table(f"{t_c}_canon").collect()
+    assert {(r.label, r.text) for r in feats} == {
+        (r.label, r.key) for r in canon
+    }
+    # all three spellings resolved to ONE canonical
+    assert len({r.canonical_id for r in canon}) == 1
+
+
+def test_fuzzy_feature_cache_self_heals_gap(spark, fresh_db):
+    """Keys registered while fuzzy (and hence the cache) was OFF are
+    staged on the next fuzzy batch via the anti-join self-heal — the
+    stored name is still found as a fuzzy target."""
+    t = f"{fresh_db}.kg_heal"
+    resolve_batch_incremental(
+        _nodes(spark, [("m1", "Person", True, "John Smith", 0, "c1", "u1")]),
+        _edges(spark, []),
+        t,  # fuzzy off: no feature cache written
+    )
+    assert not spark.catalog.tableExists(f"{t}_canon_feats")
+    stats = resolve_batch_incremental(
+        _nodes(spark, [("m2", "Person", True, "Jon Smith", 0, "c2", "u2")]),
+        _edges(spark, []),
+        t,
+        fuzzy_threshold=0.8,
+    )
+    assert stats["fuzzy_adopted"] == 1
+    feats = spark.read.table(f"{t}_canon_feats").collect()
+    assert {r.text for r in feats} == {"John Smith", "Jon Smith"}
+
+
+def test_compaction_rebuilds_feature_cache(spark, fresh_db):
+    """After compaction re-points keys, the feature table's embedded
+    canonical ids are rebuilt — a later fuzzy match of a merged-away
+    spelling adopts the KEEPER."""
+    from neo4j_graphrag_python_spark.streaming.incremental import (
+        compact_canonicals,
+    )
+
+    t = f"{fresh_db}.kg_feat_compact"
+    # two separate canonicals (fuzzy on, but nothing stored to match on
+    # batch 1, and batch 2's name misses 0.95)
+    resolve_batch_incremental(
+        _nodes(spark, [("m1", "Person", True, "John Smith", 0, "c1", "u1")]),
+        _edges(spark, []), t, fuzzy_threshold=0.95,
+    )
+    resolve_batch_incremental(
+        _nodes(spark, [("m2", "Person", True, "Jon Smith", 0, "c2", "u2")]),
+        _edges(spark, []), t, fuzzy_threshold=0.95,
+    )
+    canon0 = {r.key: r.canonical_id
+              for r in spark.read.table(f"{t}_canon").collect()}
+    assert canon0["John Smith"] != canon0["Jon Smith"]
+    assert compact_canonicals(spark, t)["merged_canonicals"] == 1
+    keeper = min(canon0.values())
+    feats = spark.read.table(f"{t}_canon_feats").collect()
+    assert all(r.id.split("\x00")[0] == f"s:{keeper}" for r in feats)
+    # a close variant now fuzzy-adopts the keeper through the rebuilt cache
+    stats = resolve_batch_incremental(
+        _nodes(spark, [("m3", "Person", True, "John  Smith", 0, "c3", "u3")]),
+        _edges(spark, []), t, fuzzy_threshold=0.9,
+    )
+    assert stats["fuzzy_adopted"] == 1
+    canon1 = {r.key: r.canonical_id
+              for r in spark.read.table(f"{t}_canon").collect()}
+    assert canon1["John  Smith"] == keeper
