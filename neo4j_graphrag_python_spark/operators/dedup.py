@@ -309,7 +309,18 @@ def minhash_dedup_pairs(
         )
         .join(texts.withColumnsRenamed({"id": "id_b", "text": "text_b"}), "id_b")
     )
-    scored = score_pairs_jaccard(enriched, shingle_k)
+    # repartition before the Python rescore: the scorer's cost is per
+    # PAIR (two shingle-set builds over full texts), but AQE sizes the
+    # post-join partitioning by BYTES — a few MB of surviving pairs
+    # coalesce to a handful of partitions and the rescore stage runs
+    # near-serial (measured 21s over 5 tasks at sf0.1).  Unconditional
+    # (not widen_for_compute: probing .rdd here would force an extra
+    # AQE execution of the whole candidate join); one narrow round-robin
+    # exchange of the surviving pairs is cheap next to the set algebra.
+    sc = df.sparkSession.sparkContext
+    scored = score_pairs_jaccard(
+        enriched.repartition(sc.defaultParallelism), shingle_k
+    )
     return scored.where(F.col("jaccard") >= jaccard_threshold).select(
         "id_a", "id_b", "jaccard"
     )
@@ -645,7 +656,7 @@ def embedding_neardup_ivf(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     broadcast_rescore: bool = True,
-    rescore: str = "pairs",
+    rescore: str = "cells",
 ) -> DataFrame:
     """Embedding near-dup via k-means IVF cell blocking + exact cosine
     rescore — the scale path for MODERATE thresholds, where sign-LSH
@@ -687,7 +698,10 @@ def embedding_neardup_ivf(
     right whenever the corpus's (id, vector) projection fits executor
     memory (up to ~10⁷ vectors); beyond that use ``rescore="cells"``.
 
-    ``rescore="cells"`` is the beyond-broadcast-tier shape: instead of
+    ``rescore="cells"`` (the default — output identical to the pairs
+    path by test, and measured 3× faster at bench scale because the
+    candidate pair set never materializes as rows and the per-pair
+    interpreted cosine folds become one numpy GEMM per cell): instead of
     materializing candidate PAIRS at all, vectors are shipped to their
     primary cell (residents) and ``nprobe−1`` probe cells (visitors),
     and each cell group runs a tiled numpy GEMM over its members —
@@ -719,10 +733,15 @@ def embedding_neardup_ivf(
             sample, num_centroids=num_centroids, seed=seed
         )
     v = F.col(vec_col).cast("array<double>")
+    # probes materialized before consumption: two consumers (primary cell
+    # + probe explode) would re-plan the centroid scoring per side, and
+    # the probe explode's inferred ``size(probes) > 0`` filter would be
+    # pushed below the widening exchange with the scoring inlined —
+    # running all num_centroids·dim dots again on the narrow scan side
     assigned = widen_for_compute(embeddings).select(
         F.col(id_col).alias("id"),
         _centroid_topn(v, centroids, nprobe).alias("probes"),
-    )
+    ).localCheckpoint(eager=False)
     base = embeddings.select(F.col(id_col).alias("id"), v.alias("v"))
     if rescore == "cells":
         cand = _ivf_cell_survivors(assigned, base, threshold)
@@ -1060,10 +1079,7 @@ def embedding_neardup_lsh(
     import random
     import warnings
 
-    from neo4j_graphrag_python_spark.operators.similarity import (
-        _hyperplane_signs,
-        cosine_col,
-    )
+    from neo4j_graphrag_python_spark.operators.similarity import cosine_col
 
     p_bit = 1.0 - math.acos(max(-1.0, min(1.0, threshold))) / math.pi
     if num_planes is None and num_tables is None:
@@ -1119,23 +1135,75 @@ def embedding_neardup_lsh(
             )
 
     rng = random.Random(seed)
-    v = F.col(vec_col).cast("array<double>")
-    tables = []
-    for t in range(num_tables):
-        planes = [
-            [rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(num_planes)
-        ]
-        tables.append(
-            F.struct(
-                F.lit(t).alias("tbl"), _hyperplane_signs(v, planes).alias("bucket")
-            )
-        )
+    # one (L·m, dim) plane matrix, same draw order as the historical
+    # per-table loop: table-major, plane-major, dim-minor
+    planes_mat = [
+        [rng.gauss(0.0, 1.0) for _ in range(dim)]
+        for _ in range(num_tables * num_planes)
+    ]
+
+    # All L·m·dim dot products in one Arrow-vectorized pass instead of a
+    # JVM HOF tree: higher-order functions are excluded from whole-stage
+    # codegen (interpreted per element — measured 21s executor CPU at
+    # 2000×58×13×64), and the L·m·dim literal matrix (~48k doubles)
+    # costs seconds of driver-side analysis/codegen per query.  The
+    # numpy kernel replays the JVM fold BIT-EXACTLY: per plane,
+    # ``aggregate(zip_with(v, h, x*y), 0.0, s+x)`` is a sequential
+    # left-to-right sum over dim, so the kernel accumulates one
+    # ``acc += v[:, i] * P[:, i]`` rank-1 update per dimension — same
+    # product rounding, same addition order as the interpreted fold.
+    # Degenerate rows (null vector, length != dim, null/NaN elements)
+    # produce bucket 0 in every table, exactly like the JVM expression
+    # (null products poison the fold → every when() falls to 0).
+    import numpy as np
+    from pyspark.sql.types import ArrayType, LongType
+
+    n_planes_total = num_tables * num_planes
+    plane_arr = np.array(planes_mat, dtype=np.float64)  # (L·m, dim)
+    pow2 = (2.0 ** np.arange(num_planes)).astype(np.int64)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _bucket_ids(it: "Iterator[pd.Series]") -> "Iterator[pd.Series]":
+        for s in it:
+            vals = s.to_numpy()
+            n = len(vals)
+            ok = np.zeros(n, dtype=bool)
+            rows = []
+            for r, v_ in enumerate(vals):
+                if v_ is None:
+                    continue
+                a = np.asarray(v_, dtype=np.float64)
+                if a.shape == (dim,) and not np.isnan(a).any():
+                    ok[r] = True
+                    rows.append(a)
+            buckets = np.zeros((n, num_tables), dtype=np.int64)
+            if rows:
+                V = np.stack(rows)  # (k, dim)
+                acc = np.zeros((len(rows), n_planes_total))
+                for i in range(dim):
+                    # rank-1 update: same per-element product + running
+                    # sum order as the JVM fold
+                    acc += V[:, i : i + 1] * plane_arr[:, i]
+                bits = (acc >= 0).reshape(len(rows), num_tables, num_planes)
+                buckets[ok] = bits @ pow2
+            yield pd.Series(list(buckets))
+
     # keys only through the explode — no vector payload; widened first:
-    # L·m·dim dots per row on an I/O-sized scan would pin 1-2 tasks
-    bucketed = widen_for_compute(embeddings).select(
+    # L·m·dim dots per row on an I/O-sized scan would pin 1-2 tasks.
+    # The L-table bucket array is materialized (localCheckpoint) BEFORE
+    # the explode: both sides of the bucket self-join read it (the
+    # un-materialized subtree is planned twice — 2× the L·m·dim dots),
+    # and the explode's inferred ``size(...) > 0`` filter would otherwise
+    # be pushed below the widening exchange with the whole computation
+    # inlined, running it a further time on the narrow pre-shuffle side
+    # (measured: a single straggler task owning the job)
+    pre = widen_for_compute(embeddings).select(
         F.col(id_col).alias("id"),
-        F.explode(F.array(*tables)).alias("tb"),
-    ).select("id", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+        _bucket_ids(F.col(vec_col).cast("array<double>")).alias("tbs"),
+    ).localCheckpoint(eager=False)
+    bucketed = pre.select(
+        "id", F.posexplode("tbs").alias("tbl", "bucket")
+    )
     if max_bucket_size is not None:
         # same guard as minhash_lsh_pairs: a (tbl, bucket) cell of m
         # members contributes C(m,2) candidates, so dense regions (or a
@@ -1158,6 +1226,7 @@ def embedding_neardup_lsh(
         .dropDuplicates(["id_a", "id_b"])
     )
     # fetch vectors once per side for the exact rescore (un-exploded frame)
+    v = F.col(vec_col).cast("array<double>")
     base = embeddings.select(F.col(id_col).alias("id"), v.alias("v"))
     va = base.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"))
     vb = base.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"))

@@ -361,13 +361,20 @@ def contamination_scores(
     no other executor at all.  Docs shorter than n words report 0 grams
     and 0.0 contamination (they cannot be n-gram contaminated).
     """
+    from neo4j_graphrag_python_spark.operators.dedup import widen_for_compute
+
     bench_grams = (
         benchmark.select(
             F.explode(_word_ngrams(F.col(text_col), n)).alias("gram")
         )
         .distinct()
     )
-    doc_grams = docs.select(
+    # widen before the gram projection: n-gram construction is ~10²
+    # string ops per input byte, and an I/O-sized scan (1-2 tasks at
+    # bench scale) would run the whole corpus single-threaded (measured
+    # 3.3s → 0.4s at sf0.1); explode_outer infers no pushed filter, so
+    # no checkpoint is needed here
+    doc_grams = widen_for_compute(docs).select(
         F.col(id_col).alias("id"),
         F.explode_outer(_word_ngrams(F.col(text_col), n)).alias("gram"),
     )
@@ -470,14 +477,19 @@ def dup_span_stats(
 
     toks = _tokens(F.col(text_col))
     span_hashes = F.transform(_ngram_array(toks, w), lambda g: F.xxhash64(g))
+    # materialize the (id, hash array) rows BEFORE the explode.  Two
+    # reasons (measured 4-6s → ~0.3s at sf0.1): (a) two consumers (the
+    # corpus count and the join back) read the hashes, so the text is
+    # scanned and hashed once; (b) explode makes the optimizer infer a
+    # ``size(hs) > 0`` filter and push it below the widening exchange —
+    # with the heavy projection inlined, the whole window-hash pass runs
+    # a SECOND time on the narrow pre-shuffle side (1-2 scan tasks, a
+    # straggler that pins the job).  Checkpointing the array frame keeps
+    # the inferred filter a cheap size() probe of materialized arrays.
     base = widen_for_compute(df).select(
         F.col(id_col).alias("id"), span_hashes.alias("hs")
-    )
+    ).localCheckpoint(eager=False)
     wins = base.select("id", F.explode("hs").alias("h"))
-    # two consumers (the corpus count and the join back) — materialize the
-    # narrow (id, long) rows once so the text is scanned and hashed once,
-    # not per consumer (same multi-consumer rule as the minhash signatures)
-    wins = wins.localCheckpoint(eager=False)
     per_hash = wins.groupBy("h").agg(F.count("*").alias("c"))
     per_doc = (
         wins.join(per_hash, "h")
@@ -573,13 +585,16 @@ def dedup_spans_apply(
     toks = F.transform(pieces, lambda p: F.regexp_replace(p, r"\s+$", ""))
     span_hashes = F.transform(_ngram_array(toks, w), lambda g: F.xxhash64(g))
 
-    base = widen_for_compute(df)
-    wins = base.select(
+    # materialize the (id, hash array) rows BEFORE the posexplode — same
+    # two reasons as dup_span_stats: two consumers (corpus count+keeper,
+    # and the join back) read the hashes, and the explode's inferred
+    # ``size(hs) > 0`` filter would otherwise be pushed below the
+    # widening exchange with the whole window-hash projection inlined,
+    # re-running it on the narrow pre-shuffle side (measured straggler)
+    base = widen_for_compute(df).select(
         F.col(id_col).alias("id"), span_hashes.alias("hs")
-    ).select("id", F.posexplode("hs").alias("pos", "h"))
-    # two consumers (corpus count+keeper, and the join back): materialize
-    # the narrow (id, int, long) rows once — text is scanned/hashed once
-    wins = wins.localCheckpoint(eager=False)
+    ).localCheckpoint(eager=False)
+    wins = base.select("id", F.posexplode("hs").alias("pos", "h"))
     per_hash = wins.groupBy("h").agg(
         F.count("*").alias("c"),
         F.min(F.struct("id", "pos")).alias("keeper"),
