@@ -73,6 +73,157 @@ def dedup_exact(df: DataFrame, id_col: str = "doc_id", text_col: str = "text"):
 # ---------------------------------------------------------------------------
 
 
+def _ascii_window_hasher(k: int):
+    """Returns ``f(norm: str) -> np.ndarray[uint64]``: Spark-compatible
+    ``xxhash64`` (seed 42) of every sliding ``k``-char shingle of a
+    SINGLE-BYTE-UTF-8 string, vectorized — the scalar short-input XXH64
+    loop unrolled into one numpy pass per 8/4/1-byte chunk class, same
+    op order as functions/xxhash.py (whose JVM parity is test-pinned).
+    Requires ``len(norm) >= k`` and k < 32."""
+    import numpy as np
+
+    U = np.uint64
+    P1, P2, P3 = U(0x9E3779B185EBCA87), U(0xC2B2AE3D27D4EB4F), U(0x165667B19E3779F9)
+    P4, P5 = U(0x85EBCA77C2B2AE63), U(0x27D4EB2F165667C5)
+
+    def _rotl(x, r):
+        return (x << U(r)) | (x >> U(64 - r))
+
+    def _avalanche(h):
+        h = h ^ (h >> U(33))
+        h = h * P2
+        h = h ^ (h >> U(29))
+        h = h * P3
+        return h ^ (h >> U(32))
+
+    h_init = U((42 + 0x27D4EB2F165667C5 + k) & ((1 << 64) - 1))
+
+    def hash_windows(norm: str) -> "np.ndarray":
+        b = np.frombuffer(norm.encode("utf-8"), dtype=np.uint8)
+        n_w = len(b) - k + 1
+        h = np.full(n_w, h_init, dtype=U)
+        win = np.lib.stride_tricks.sliding_window_view(b, k)
+        i = 0
+        while i <= k - 8:  # full 8-byte chunks
+            word = np.zeros(n_w, dtype=U)
+            for byte in range(8):
+                word |= win[:, i + byte].astype(U) << U(8 * byte)
+            h ^= _rotl(word * P2, 31) * P1
+            h = _rotl(h, 27) * P1 + P4
+            i += 8
+        if i <= k - 4:  # one 4-byte chunk
+            word = np.zeros(n_w, dtype=U)
+            for byte in range(4):
+                word |= win[:, i + byte].astype(U) << U(8 * byte)
+            h ^= word * P1
+            h = _rotl(h, 23) * P2 + P3
+            i += 4
+        while i < k:  # tail bytes
+            h ^= win[:, i].astype(U) * P5
+            h = _rotl(h, 11) * P1
+            i += 1
+        return _avalanche(h)
+
+    return hash_windows
+
+
+def _minhash_sig_udf(num_hashes: int, shingle_k: int):
+    """Arrow pandas-UDF: normalized text → minhash signature array,
+    bit-identical to the historical JVM expression chain
+    ``array(array_min(transform(array_distinct(transform(shingles,
+    xxhash64)), h -> xxhash64(h, lit(seed)))) for seed)``.
+
+    Identities that make the kernel exact:
+
+      * ``min`` over the rehash of DISTINCT shingle hashes equals the min
+        over ALL shingle hashes (distinct only pruned work), so the
+        kernel skips distinct entirely;
+      * Spark's ``xxhash64`` is public-domain XXH64 chained from seed 42
+        (strings: UTF-8 bytes; the rehash: [8 LE bytes, 4 LE bytes]) —
+        parity with functions/xxhash.py is test-pinned, and the offline
+        MINHASH fixture already established Python ``str.lower()`` /
+        code-point slicing as the JVM normalization's equivalent;
+      * the rehash chain factors into a seed-independent transform of
+        each base hash plus a ~9-op vectorized tail per signature slot;
+      * per-doc minima are SIGNED int64 (``array_min`` on LongType).
+
+    The shingle base hashes take the vectorized path when the normalized
+    text is single-byte UTF-8 (byte index == char index: sliding windows
+    + the n<32 XXH64 tail, all numpy); other docs fall back to the
+    pure-Python replica per shingle — correctness identical, cost
+    proportional to the non-ASCII share of the corpus.
+    """
+    import numpy as np
+    from pyspark.sql.types import ArrayType, LongType
+
+    from neo4j_graphrag_python_spark.functions.xxhash import xxh64
+
+    U = np.uint64
+    P1, P2, P3 = U(0x9E3779B185EBCA87), U(0xC2B2AE3D27D4EB4F), U(0x165667B19E3779F9)
+    P4, P5 = U(0x85EBCA77C2B2AE63), U(0x27D4EB2F165667C5)
+    MASK = (1 << 64) - 1
+
+    def _rotl(x, r):
+        return (x << U(r)) | (x >> U(64 - r))
+
+    def _avalanche(h):
+        h = h ^ (h >> U(33))
+        h = h * P2
+        h = h ^ (h >> U(29))
+        h = h * P3
+        return h ^ (h >> U(32))
+
+    def _hash_longs(u):
+        # xxh64(8 LE bytes of each long, seed=42): short-input path
+        h0 = U((42 + 0x27D4EB2F165667C5 + 8) & MASK)
+        h = h0 ^ (_rotl(u * P2, 31) * P1)
+        h = _rotl(h, 27) * P1 + P4
+        return _avalanche(h)
+
+    # per-slot xor constants for the rehash tail:
+    # (seed_literal_as_u32 * PRIME64_1) mod 2^64
+    xor_consts = [U((s * 0x9E3779B185EBCA87) & MASK) for s in range(num_hashes)]
+    p5_4 = U((0x27D4EB2F165667C5 + 4) & MASK)
+
+    _base_hashes_ascii = _ascii_window_hasher(shingle_k)
+
+    def _base_hashes(text) -> "np.ndarray":
+        norm = ("" if text is None else str(text)).lower()
+        if len(norm) >= shingle_k:
+            enc = norm.encode("utf-8")
+            if len(enc) == len(norm):
+                return _base_hashes_ascii(norm)
+            hs = {
+                xxh64(norm[i : i + shingle_k].encode("utf-8"), 42)
+                for i in range(len(norm) - shingle_k + 1)
+            }
+        else:
+            hs = {xxh64(norm.encode("utf-8"), 42)}
+        return np.array(sorted(hs), dtype=U)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def sig_udf(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for col in it:
+            texts = col.to_numpy()
+            lens = np.empty(len(texts), dtype=np.int64)
+            parts = []
+            for i, t in enumerate(texts):
+                bh = _base_hashes(t)
+                lens[i] = len(bh)
+                parts.append(bh)
+            flat = np.concatenate(parts)
+            hbase = _hash_longs(flat) + p5_4
+            starts = np.zeros(len(texts), dtype=np.intp)
+            np.cumsum(lens[:-1], out=starts[1:])
+            sig_mat = np.empty((len(texts), num_hashes), dtype=np.int64)
+            for sd in range(num_hashes):
+                h2 = _avalanche(_rotl(hbase ^ xor_consts[sd], 23) * P2 + P3)
+                sig_mat[:, sd] = np.minimum.reduceat(h2.view(np.int64), starts)
+            yield pd.Series(sig_mat.tolist())
+
+    return sig_udf
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -82,54 +233,126 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, sig array<bigint>) — minhash signatures via long-rehash.
 
-    Two-stage scheme (round 4 — 2× cheaper than hashing strings per
-    seed, byte-identical results replicated by the offline fixture):
+    Two-stage scheme (round 4), vectorized end-to-end in round 7:
 
     1. ONE string-hash pass: each shingle → ``xxhash64(shingle)``
        (UTF-8 encode + variable-length hash happens once, not
-       ``num_hashes`` times), then ``array_distinct`` — word-salad /
-       natural text repeats ~30% of its shingles, and min() over
-       duplicates is identity, so distinct shrinks every downstream
-       pass (hash collisions collapse to the same value ⇒ still exact);
-    2. ``num_hashes`` cheap passes over the LONG array:
+       ``num_hashes`` times);
+    2. ``num_hashes`` cheap passes over the LONG hashes:
        ``xxhash64(h, lit(seed))`` chains [8-byte long, 4-byte int
        literal] — two fixed-size blocks, no string encode.
 
-    Stays fully JVM-side, fused by codegen into one projection.
+    Both passes now run inside one Arrow pandas-UDF numpy kernel
+    (:func:`_minhash_sig_udf`) — the JVM HOF form was excluded from
+    whole-stage codegen and interpreted per element.  Results are
+    byte-identical (replicated by the offline fixture, and the old/new
+    equivalence was asserted slot-for-slot at sf0.01 when the kernel
+    landed).
 
-    NULL texts coalesce to '' (matching exact_jaccard_pairs and the
-    offline oracle fixture): without it a NULL row's shingle array is
-    [NULL] and xxhash64 skips the null argument — a different signature
-    than the empty string's, diverging from every other text treatment
-    in this module.
+    NULL texts normalize to '' (matching exact_jaccard_pairs and the
+    offline oracle fixture), so every row gets a full signature.
     """
-    norm = F.lower(F.coalesce(F.col(text_col), F.lit("")))
-    n_sh = F.greatest(F.length(norm) - F.lit(shingle_k - 1), F.lit(1))
-    shingle_hashes = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), n_sh),
-            lambda i: F.xxhash64(norm.substr(i, F.lit(shingle_k))),
-        )
-    )
+    # Round 7: both hashing passes run in one Arrow numpy kernel
+    # (:func:`_minhash_sig_udf`) instead of the historical JVM HOF chain
+    # — higher-order functions are excluded from whole-stage codegen and
+    # were interpreted per element (measured ~18s executor time at sf0.1
+    # for the 11M shingle hashes + 9M·96 rehash evals, plus driver
+    # planning of a 96-branch expression tree).  Values are bit-identical
+    # (see the UDF docstring for the exactness argument).
     base = widen_for_compute(df).select(
-        F.col(id_col).alias("id"), shingle_hashes.alias("hl")
+        F.col(id_col).alias("id"), F.col(text_col).alias("_t")
     )
+    _sig_udf = _minhash_sig_udf(num_hashes, shingle_k)
+    return base.select("id", _sig_udf("_t").alias("sig"))
 
-    def rehash_with(seed: int):
-        # must be a ONE-argument lambda: PySpark treats a second lambda
-        # parameter as the array index (transform(arr, (x, i) -> ...)),
-        # so the `lambda s, seed=seed:` capture idiom silently turns the
-        # seed into the element position — collapsing every signature
-        # slot to the same hash function
-        return lambda h: F.xxhash64(h, F.lit(seed))
 
-    sig = F.array(
-        *[
-            F.array_min(F.transform("hl", rehash_with(seed)))
-            for seed in range(num_hashes)
-        ]
-    )
-    return base.select("id", sig.alias("sig"))
+def _band_buckets_udf(bands: int):
+    """Arrow pandas-UDF: signature array → per-band bucket ids.
+
+    A bucket id only ever feeds EQUALITY comparisons (the band self-join
+    and the bucket-size cap window), so the invariant that matters is
+    bucket equality ⟺ band-slice equality — the same invariant the
+    historical ``xxhash64(slice(sig, ...).cast('string'))`` form provided
+    (and that the offline fixture models by grouping on the slice tuple
+    itself).  This kernel keeps the identical slice boundaries (the same
+    double-division/truncation index arithmetic) but hashes the slice as
+    a chained XXH64 over its longs (seed 42) in numpy instead of
+    building an interpreted per-row string per band (measured ~15s
+    executor time at sf0.1).  Hash collisions are ~2⁻⁶⁴ per bucket pair
+    in either scheme and the fixture pins the pair set at test scale.
+    """
+    import numpy as np
+    from pyspark.sql.types import ArrayType, LongType
+
+    from neo4j_graphrag_python_spark.functions.xxhash import spark_xxhash64, Long
+
+    U = np.uint64
+    P1, P2, P3 = U(0x9E3779B185EBCA87), U(0xC2B2AE3D27D4EB4F), U(0x165667B19E3779F9)
+    P4, P5 = U(0x85EBCA77C2B2AE63), U(0x27D4EB2F165667C5)
+
+    def _rotl(x, r):
+        return (x << U(r)) | (x >> U(64 - r))
+
+    def _avalanche(h):
+        h = h ^ (h >> U(33))
+        h = h * P2
+        h = h ^ (h >> U(29))
+        h = h * P3
+        return h ^ (h >> U(32))
+
+    def _chain_long(u, seed_vec):
+        # xxh64 of 8 LE bytes with a per-row running seed
+        h = (seed_vec + P5 + U(8)) ^ (_rotl(u * P2, 31) * P1)
+        h = _rotl(h, 27) * P1 + P4
+        return _avalanche(h)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def bucket_udf(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for col in it:
+            sigs = col.to_numpy()
+            n = len(sigs)
+            out: list = [None] * n
+            regular, irregular = [], []
+            for i, s in enumerate(sigs):
+                if s is None:
+                    continue
+                (irregular if any(x is None for x in s) else regular).append(i)
+            if regular:
+                mat = np.stack(
+                    [np.asarray(sigs[i], dtype=np.int64) for i in regular]
+                ).view(U)
+                n_sig = mat.shape[1]
+                rpb = n_sig / bands  # same double division as the old form
+                res = np.empty((len(regular), bands), dtype=np.int64)
+                for b in range(bands):
+                    start = int(b * rpb + 1) - 1  # (b*rpb + 1).cast(int), 0-based
+                    h = np.full(len(regular), U(42))
+                    for j in range(start, start + int(rpb)):
+                        h = _chain_long(mat[:, j], h)
+                    res[:, b] = h.view(np.int64)
+                rows = res.tolist()
+                for k, i in enumerate(regular):
+                    out[i] = rows[k]
+            for i in irregular:
+                # null-bearing signatures: hash the slice tuple via the
+                # pure-Python replica with a None sentinel — equality
+                # still tracks slice equality
+                s = sigs[i]
+                n_sig = len(s)
+                rpb = n_sig / bands
+                row = []
+                for b in range(bands):
+                    start = int(b * rpb + 1) - 1
+                    sl = tuple(s[start : start + int(rpb)])
+                    row.append(
+                        spark_xxhash64(
+                            *[Long(x if x is not None else -(1 << 62) + 7) for x in sl]
+                        )
+                    )
+                out[i] = row
+            yield pd.Series(out)
+
+    return bucket_udf
 
 
 def minhash_lsh_pairs(
@@ -138,7 +361,9 @@ def minhash_lsh_pairs(
     """LSH banding: split each signature into ``bands`` bands, hash each
     band, self-join on (band_idx, band_hash) buckets → candidate pairs
     (id_a < id_b).  Collision probability follows the usual S-curve in
-    true Jaccard similarity.
+    true Jaccard similarity.  The band bucket ids come from an Arrow
+    numpy kernel (:func:`_band_buckets_udf`) — bucket equality tracks
+    band-slice equality exactly as the historical string-cast form did.
 
     ``max_bucket_size``: optional guard for ADVERSARIAL corpora whose
     noise-floor Jaccard sits near the banding S-curve (boilerplate-heavy
@@ -152,25 +377,9 @@ def minhash_lsh_pairs(
     :func:`minhash_dedup_pairs` derives a corpus-sized cap by default.
     Deterministic either way.
     """
-    rows_per_band = F.size("sig") / F.lit(bands)
     banded = signatures.select(
-        "id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(
-                        F.slice(
-                            "sig",
-                            (b * rows_per_band + 1).cast("int"),
-                            rows_per_band.cast("int"),
-                        ).cast("string")
-                    ).alias("bucket"),
-                ),
-            )
-        ).alias("bb"),
-    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+        "id", F.posexplode(_band_buckets_udf(bands)("sig")).alias("band", "bucket")
+    )
     if max_bucket_size is not None:
         from pyspark.sql import Window
 
@@ -327,22 +536,74 @@ def minhash_dedup_pairs(
 
 
 def score_pairs_jaccard(pairs: DataFrame, shingle_k: int = 5) -> DataFrame:
-    """Exact character-shingle Jaccard for candidate pairs (Arrow batches)."""
+    """Exact character-shingle Jaccard for candidate pairs (Arrow batches).
+
+    Round 7: shingle sets are represented as SORTED UNIQUE xxhash64
+    arrays (the same vectorized window hashing as the signature kernel)
+    and intersected with ``np.intersect1d`` instead of building Python
+    string-set objects per pair — ~20× per pair (measured 26s → ~1s
+    executor time at sf0.1).  |A∩B|/|A∪B| over hash sets equals the
+    string-set value unless two distinct shingles of the same document
+    pair collide in 64 bits (~n²/2⁶⁵ — far below the fixture's test
+    scale, which pins the exact values).  A per-batch cache keys on the
+    text object so each document is shingled once per batch, not once
+    per pair.
+    """
+    import numpy as np
+
+    def _shingle_hash_array(norm: str, base_fn) -> "np.ndarray":
+        if len(norm) >= shingle_k:
+            arr = np.unique(base_fn(norm).view(np.int64))
+        else:
+            from neo4j_graphrag_python_spark.functions.xxhash import xxh64
+
+            v = xxh64(norm.encode("utf-8"), 42)
+            arr = np.array([v - (1 << 64) if v >= (1 << 63) else v], dtype=np.int64)
+        return arr
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        def sh(t: str) -> set:
-            t = (t or "").lower()
-            if len(t) < shingle_k:
-                return {t}
-            return {t[i : i + shingle_k] for i in range(len(t) - shingle_k + 1)}
+        # reuse the exact vectorized window hasher from the signature
+        # kernel (num_hashes irrelevant here — only _base_hashes helpers)
+        base_fn = _ascii_window_hasher(shingle_k)
 
         for pdf in batches:
             pdf = pdf.copy()
+            cache: dict = {}
+
+            def sets_for(t) -> "np.ndarray":
+                key = t if t is not None else ""
+                got = cache.get(key)
+                if got is None:
+                    norm = ("" if t is None else str(t)).lower()
+                    enc = norm.encode("utf-8")
+                    if len(enc) == len(norm):
+                        got = _shingle_hash_array(norm, base_fn)
+                    else:
+                        from neo4j_graphrag_python_spark.functions.xxhash import (
+                            xxh64,
+                        )
+
+                        if len(norm) < shingle_k:
+                            hs = {xxh64(enc, 42)}
+                        else:
+                            hs = {
+                                xxh64(norm[i : i + shingle_k].encode("utf-8"), 42)
+                                for i in range(len(norm) - shingle_k + 1)
+                            }
+                        got = np.array(
+                            sorted(
+                                v - (1 << 64) if v >= (1 << 63) else v for v in hs
+                            ),
+                            dtype=np.int64,
+                        )
+                    cache[key] = got
+                return got
+
             vals = []
             for a, b in zip(pdf["text_a"], pdf["text_b"]):
-                sa, sb = sh(a), sh(b)
-                inter = len(sa & sb)
-                union = len(sa | sb)
+                sa, sb = sets_for(a), sets_for(b)
+                inter = len(np.intersect1d(sa, sb, assume_unique=True))
+                union = len(sa) + len(sb) - inter
                 vals.append(inter / union if union else 1.0)
             pdf["jaccard"] = vals
             yield pdf
