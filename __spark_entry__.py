@@ -1687,13 +1687,17 @@ def q_quality_train_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     TRAIN_LABEL_TOKEN), so the trained weight table is a pure function
     of the input and the unrolled-epoch SQL oracle replays the identical
     recurrence."""
+    from neo4j_graphrag_python_spark.operators.dedup import widen_for_compute
     from neo4j_graphrag_python_spark.operators.text_analysis import _tokens
     from neo4j_graphrag_python_spark.operators.training import (
         fit_linear_classifier,
     )
 
     docs = _read(spark, sf_dir, "documents")
-    labels = docs.select(
+    # widen before the label tokenization: the labels frame is consumed
+    # twice (count + join) and an I/O-sized scan would tokenize the
+    # whole corpus on 1-2 tasks each time
+    labels = widen_for_compute(docs).select(
         "doc_id",
         F.array_contains(_tokens(F.col("text")), TRAIN_LABEL_TOKEN)
         .cast("int")

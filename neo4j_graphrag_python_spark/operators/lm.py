@@ -60,14 +60,29 @@ def train_bigram_lm(
     the denominator must count prediction events, so a document's last
     token contributes context mass only via its predecessor).
     """
+    from neo4j_graphrag_python_spark.operators.dedup import widen_for_compute
+
     toks = _tokens(F.col(text_col))
-    pairs = docs.select(F.explode(_bigrams(toks)).alias("p")).select(
-        F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    # widen before tokenization (1-2 scan tasks at bench scale would run
+    # it single-threaded); explode_outer + null filter instead of explode
+    # so the optimizer does not infer a size(_bigrams(...)) > 0 filter
+    # and push the whole bigram construction below the widening exchange
+    # (identical rows: explode drops empty arrays, explode_outer turns
+    # them into one NULL row which the filter removes)
+    wide = widen_for_compute(docs)
+    pairs = (
+        wide.select(F.explode_outer(_bigrams(toks)).alias("p"))
+        .where(F.col("p").isNotNull())
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
     )
     bigrams = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c"))
     contexts = pairs.groupBy("w1").agg(F.count("*").alias("ctx_c"))
     vocab_size = (
-        docs.select(F.explode(toks).alias("w")).select("w").distinct().count()
+        wide.select(F.explode_outer(toks).alias("w"))
+        .where(F.col("w").isNotNull())
+        .select("w")
+        .distinct()
+        .count()
     )
     return bigrams, contexts, vocab_size
 
@@ -94,8 +109,10 @@ def score_perplexity(
         raise ValueError("vocab_size must be positive")
     if k <= 0:
         raise ValueError("add-k smoothing needs k > 0")
+    from neo4j_graphrag_python_spark.operators.dedup import widen_for_compute
+
     toks = _tokens(F.col(text_col))
-    doc_pairs = docs.select(
+    doc_pairs = widen_for_compute(docs).select(
         F.col(id_col).alias("id"), F.explode_outer(_bigrams(toks)).alias("p")
     ).select("id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
     kv = float(k) * float(vocab_size)

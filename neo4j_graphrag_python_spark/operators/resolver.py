@@ -219,32 +219,47 @@ def _resolve_exact_carried(
     scoped = nodes.where(in_scope)
     others = nodes.where(~F.coalesce(in_scope, F.lit(False)))
 
-    # ONE shuffle of the mention set: first row (chunk order) per
-    # (label, key) group IS the canonical node, properties 'discard'
-    # first-wins included — no anti-join against a merged-away set.
-    canonical = (
-        scoped.groupBy(F.col("label").alias("_gl"), key.alias("_gk"))
+    # ONE NARROW shuffle of the mention set decides the canonical id per
+    # (label, key) group: only (id, label, key, order-key) rows cross the
+    # exchange — the guide-§8 move; the historical
+    # ``min_by(struct(*columns))`` form shipped every mention's full
+    # properties map through the shuffle (measured ~21s of shuffle-write
+    # serialization at sf0.1), when the decision needs ~40 bytes/row.
+    # The winning ROW (properties 'discard' first-wins included) is then
+    # fetched by an id equi-join — the winner-id set has one row per
+    # canonical ENTITY, so AQE broadcasts it whenever it fits and the
+    # full mention rows are never shuffled at all; _ord ties are
+    # impossible (it ends in the unique id), so the argmin row is the
+    # same one min_by picked.
+    winners = (
+        scoped.select(
+            "id",
+            F.col("label").alias("_gl"),
+            key.alias("_gk"),
+            _order_key().alias("_ord"),
+        )
+        .groupBy("_gl", "_gk")
         .agg(
-            F.min_by(F.struct(*nodes.columns), _order_key()).alias("_first"),
+            F.min_by("id", "_ord").alias("_cid"),
             F.count("*").alias("_n_mentions"),
         )
         .persist()
     )
-    stats_row = canonical.agg(
+    stats_row = winners.agg(
         # sum over zero groups is NULL; the mapping path's count(*) gives
         # 0 on an empty scope — keep the two paths' stats identical
         F.coalesce(F.sum("_n_mentions"), F.lit(0)).alias("n"),
         F.count("*").alias("c"),
     ).collect()[0]
     new_nodes = others.unionByName(
-        canonical.select(*[F.col(f"_first.{c}").alias(c) for c in nodes.columns])
+        scoped.join(winners.select(F.col("_cid").alias("id")), "id")
     )
 
     # (label, key) → canonical id: one row per canonical entity
-    cmap = canonical.select(
+    cmap = winners.select(
         F.col("_gl").alias("_l"),
         F.col("_gk").alias("_k"),
-        F.col("_first.id").alias("_cid"),
+        F.col("_cid").alias("_cid"),
     )
 
     passthrough = None

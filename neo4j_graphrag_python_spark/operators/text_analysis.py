@@ -146,8 +146,13 @@ def linear_quality_classifier(
     dropped before the shuffle; only (id, weight) rows move.  No
     Python anywhere.
     """
+    from neo4j_graphrag_python_spark.operators.dedup import widen_for_compute
+
     toks = _tokens(F.col(text_col))
-    exploded = df.select(
+    # widen before the tokenize+explode (I/O-sized scans are 1-2 tasks at
+    # bench scale); explode_outer infers no pushed filter, so no
+    # checkpoint is needed
+    exploded = widen_for_compute(df).select(
         F.col(id_col).alias("id"), F.explode_outer(toks).alias("tok")
     )
     w_scaled = F.round(vocab["weight"] * 1e6).cast("long")

@@ -54,7 +54,11 @@ def token_count_features(
     The training feature table — computed once, reused every epoch.
     ``vocab_tokens`` is a 1-column (token) DataFrame.
     """
-    exploded = docs.select(
+    from neo4j_graphrag_python_spark.operators.dedup import widen_for_compute
+
+    # widen before the tokenize+explode: an I/O-sized scan (1-2 tasks at
+    # bench scale) would run the whole tokenization single-threaded
+    exploded = widen_for_compute(docs).select(
         F.col(id_col).alias("id"),
         F.explode(_tokens(F.col(text_col))).alias("token"),
     )
@@ -86,64 +90,85 @@ def fit_linear_classifier(
     """
     if epochs < 1:
         raise ValueError("epochs must be >= 1")
-    feats = token_count_features(docs, vocab_tokens, id_col, text_col)
+    spark = docs.sparkSession
     lab = labels.select(
         F.col(id_col).alias("id"), F.col("y").cast("long").alias("y")
     )
-    # restrict to labeled docs once; persist — every epoch reuses it
-    feats = feats.join(lab.select("id"), "id").persist()
     n_docs = lab.count()
     if n_docs == 0:
         raise ValueError("labels is empty")
-    spark = docs.sparkSession
-    # w6: 1e-6-scaled LONG weights, start at zero for every vocab token
-    w = vocab_tokens.select("token", F.lit(0).cast("long").alias("w6"))
-    for _ in range(epochs):
-        # logits over labeled docs (docs with no vocab hits => logit 0
-        # via the LEFT join from labels)
-        dots = (
-            feats.join(F.broadcast(w), "token")
-            .groupBy("id")
-            .agg(F.sum(F.col("c") * F.col("w6")).alias("dot6"))
+
+    # Round 7 epoch shape: one cached (id, counts vector, y) table, then
+    # ONE aggregation per epoch with the weight vector inlined as a
+    # 12-ish-slot literal — replacing the historical per-epoch
+    # broadcast-join + three joins + two shuffles.  Values are identical:
+    # dot6/grad6 are exact LONG sums in any order; a doc with no vocab
+    # hits has a zero count vector, so (exactly as in the old inner
+    # feats⋈resid join) it contributes nothing to the gradient; the
+    # weight update replays Spark's ROUND (HALF_UP on the exact decimal
+    # of the double) driver-side via decimal.Decimal.
+    tokens = [r["token"] for r in vocab_tokens.select("token").collect()]
+    tok_idx = {t: i for i, t in enumerate(tokens)}
+    idx_df = spark.createDataFrame(
+        [(t, i) for t, i in tok_idx.items()], "token string, _ti int"
+    )
+    feats = token_count_features(docs, vocab_tokens, id_col, text_col)
+    cnt_map = F.map_from_entries(
+        F.collect_list(F.struct(F.col("_ti"), F.col("c")))
+    )
+    vec = F.array(
+        *[
+            F.coalesce(F.element_at(F.col("_m"), F.lit(i)), F.lit(0).cast("long"))
+            for i in range(len(tokens))
+        ]
+    )
+    feats_vec = (
+        feats.join(F.broadcast(idx_df), "token")
+        .groupBy("id")
+        .agg(cnt_map.alias("_m"))
+        .join(lab, "id")
+        .select("id", vec.alias("cv"), "y")
+        .persist()
+    )
+
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def _spark_round(x: float) -> int:
+        # Spark ROUND(double) = HALF_UP on the double's exact decimal
+        return int(
+            Decimal(x).quantize(Decimal(1), rounding=ROUND_HALF_UP)
         )
-        logit = F.coalesce(F.col("dot6"), F.lit(0)) / F.lit(
-            float(_SCALE)
-        ) + F.lit(float(bias))
-        # resid6 = round(sigmoid(logit), 6)*1e6 - y*1e6, exact small long
+
+    w6 = [0] * len(tokens)
+    for _ in range(epochs):
+        w_lit = F.array(*[F.lit(int(v)).cast("long") for v in w6])
+        dot6 = F.aggregate(
+            F.zip_with("cv", w_lit, lambda c, w_: c * w_),
+            F.lit(0).cast("long"),
+            lambda s, x: s + x,
+        )
+        logit = dot6 / F.lit(float(_SCALE)) + F.lit(float(bias))
         p6 = F.round(
             F.lit(float(_SCALE)) / (F.lit(1.0) + F.exp(-logit))
         ).cast("long")
-        resid = lab.join(dots, "id", "left").select(
-            "id", (p6 - F.col("y") * F.lit(_SCALE)).alias("resid6")
-        )
-        # grad6_tok = sum(resid6 * c): exact long sum, any fold order
-        grad = (
-            feats.join(resid, "id")
-            .groupBy("token")
-            .agg(F.sum(F.col("resid6") * F.col("c")).alias("g6"))
-        )
-        # w ← round(w − lr·g/n, 6), carried as scaled longs
-        w = (
-            w.join(grad, "token", "left")
-            .select(
-                "token",
-                F.round(
-                    F.col("w6")
-                    - F.lit(float(lr))
-                    * F.coalesce(F.col("g6"), F.lit(0))
-                    / F.lit(float(n_docs))
-                )
-                .cast("long")
-                .alias("w6"),
+        resid6 = (p6 - F.col("y") * F.lit(_SCALE)).alias("_r6")
+        per_doc = feats_vec.select("cv", resid6)
+        grad_row = per_doc.agg(
+            *[
+                F.sum(F.element_at("cv", i + 1) * F.col("_r6")).alias(f"g{i}")
+                for i in range(len(tokens))
+            ]
+        ).collect()[0]
+        w6 = [
+            _spark_round(
+                w6[i] - float(lr) * float(grad_row[f"g{i}"] or 0) / float(n_docs)
             )
-        )
-        # the weight table is vocab-sized: materialize it per epoch so
-        # the lineage does not stack epochs into one giant plan
-        w = spark.createDataFrame(w.collect(), schema=w.schema)
-    feats.unpersist()
-    return w.select(
-        "token", (F.col("w6") / F.lit(float(_SCALE))).alias("weight")
-    )
+            for i in range(len(tokens))
+        ]
+    feats_vec.unpersist()
+    return spark.createDataFrame(
+        [(t, w6[i]) for i, t in enumerate(tokens)], "token string, w6 long"
+    ).select("token", (F.col("w6") / F.lit(float(_SCALE))).alias("weight"))
 
 
 def unrolled_training_sql(
