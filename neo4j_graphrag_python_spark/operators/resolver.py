@@ -251,9 +251,15 @@ def _resolve_exact_carried(
         F.coalesce(F.sum("_n_mentions"), F.lit(0)).alias("n"),
         F.count("*").alias("c"),
     ).collect()[0]
-    new_nodes = others.unionByName(
-        scoped.join(winners.select(F.col("_cid").alias("id")), "id")
-    )
+    # canonical rows persist (one row per canonical entity, like the
+    # winners map): new_nodes is consumed repeatedly downstream (both
+    # endpoint joins of the triples view, the fuzzy second pass), and
+    # without the persist each consumer would re-traverse the full
+    # union+prune lineage through this join
+    canonical_rows = scoped.join(
+        winners.select(F.col("_cid").alias("id")), "id"
+    ).persist()
+    new_nodes = others.unionByName(canonical_rows)
 
     # (label, key) → canonical id: one row per canonical entity
     cmap = winners.select(
@@ -693,7 +699,20 @@ def resolve_similarity(
     real WRatio, whose token_sort/token_set branches the bound does not
     dominate)."""
     props = resolve_properties or ["name"]
-    texts = _resolve_texts(nodes, props).persist()
+    sc = nodes.sparkSession.sparkContext
+    # coalesce caps the staged frame's partition count at the session's
+    # parallelism: the entity scope inherits the full graph's partition
+    # layout (unions of wide extraction caches — 384 partitions for a
+    # handful of entities at bench scale), and every LSH/ML stage
+    # downstream would otherwise schedule that many tasks per pass.
+    # coalesce is narrow (no shuffle) and a no-op when the input already
+    # has fewer partitions; real parallelism is restored by the banding
+    # join's own exchanges at scale.
+    texts = (
+        _resolve_texts(nodes, props)
+        .coalesce(sc.defaultParallelism)
+        .persist()
+    )
     n_scope = texts.count()
     pairs = candidate_pairs_lsh(texts, jaccard_distance=lsh_jaccard_distance)
     if method == "fuzzy" and prefilter:
@@ -701,6 +720,11 @@ def resolve_similarity(
 
         if not HAVE_RAPIDFUZZ:
             pairs = prefilter_fuzzy_pairs(pairs, texts, similarity_threshold)
+    # repartition before the Python scorer: its cost is per PAIR, but
+    # AQE sizes post-join partitions by bytes, serialising the scorer
+    # onto a handful of tasks at 10^5-name scale (same fix as the
+    # minhash rescore)
+    pairs = pairs.repartition(sc.defaultParallelism)
     scored = (
         score_pairs_fuzzy(pairs) if method == "fuzzy" else score_pairs_cosine(pairs)
     )
