@@ -156,16 +156,24 @@ def merge_upsert(
                 "WHEN NOT MATCHED THEN INSERT *"
             )
             return
-        except (AnalysisException, UnsupportedOperationException):
+        except (AnalysisException, UnsupportedOperationException) as e:
             # the extension probe is session-wide, not per-table: with
             # Iceberg/Delta extensions LOADED but ``table`` living in a
             # plain V1 session catalog (parquet), MERGE fails at
-            # analysis (AnalysisException on the v2-write check, or
-            # UnsupportedOperationException "MERGE INTO TABLE is not
-            # supported temporarily" on stock Spark) — fall through to
-            # the read-antijoin rewrite instead of surfacing an error
-            # the fallback exists to absorb
-            pass
+            # analysis — fall through to the read-antijoin rewrite for
+            # exactly the KNOWN v1-table signatures (stock Spark 4
+            # raises UNSUPPORTED_FEATURE.TABLE_OPERATION "does not
+            # support MERGE INTO TABLE"; older builds phrase it "MERGE
+            # INTO TABLE is not supported").  Any other analysis error
+            # (schema mismatch, duplicate source keys, missing columns)
+            # is a genuine failure the rewrite would only mask — re-raise.
+            msg = str(e)
+            if not (
+                "does not support MERGE" in msg
+                or "MERGE INTO TABLE is not supported" in msg
+                or "UNSUPPORTED_FEATURE.TABLE_OPERATION" in msg
+            ):
+                raise
     current = spark.read.table(table)
     keys = [k for k in key_cols]
     if precedence:

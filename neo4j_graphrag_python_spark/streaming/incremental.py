@@ -351,13 +351,21 @@ def ensure_canon_features(
     and every later micro-batch blocks against the persisted features
     instead of re-staging the whole map (re-runs append identical rows;
     reads dedupe by id).  ``new_keys``: (label, key, canonical_id)."""
-    staged = stage_lsh_features(_stored_key_texts(new_keys)).localCheckpoint(
-        eager=True
-    )
+    texts = _stored_key_texts(new_keys)
     tbl = f"{target}_canon_feats"
     if spark.catalog.tableExists(tbl):
+        # anti-join against the already-staged ids BEFORE tokenizing:
+        # callers pass whole canon deltas (including 'improved' rows
+        # whose keys are already staged), and appending them again grew
+        # the table unboundedly between compactions (reads dedupe, but
+        # scan cost does not)
+        texts = texts.join(
+            spark.read.table(tbl).select("id"), "id", "left_anti"
+        )
+        staged = stage_lsh_features(texts).localCheckpoint(eager=True)
         staged.write.format(file_format).mode("append").saveAsTable(tbl)
     else:
+        staged = stage_lsh_features(texts).localCheckpoint(eager=True)
         staged.write.format(file_format).saveAsTable(tbl)
     spark.catalog.refreshTable(tbl)
 
@@ -374,7 +382,12 @@ def _fuzzy_adopt(
     feature table exists) + exact-UB prefilter + WRatio scorer — the
     batch resolver's machinery with the pair universe restricted to
     (batch × stored).  Returns (label, _k, _scid) adoptions or None."""
-    b = missing.select(
+    # synthetic batch ids pack (label, key) with a NUL delimiter; a key
+    # containing NUL survives the round trip via the limit-2 split in
+    # the decode below, but a NUL-bearing LABEL would shift the
+    # boundary — exclude those rows from fuzzy adoption (they fall back
+    # to minting a new canonical, the same outcome as no fuzzy match)
+    b = missing.where(~F.col("label").contains("\x00")).select(
         F.concat(F.lit("b:"), F.col("label"), F.lit("\x00"), F.col("_k")).alias("id"),
         "label",
         F.col("_k").alias("text"),
@@ -407,9 +420,12 @@ def _fuzzy_adopt(
         ).alias("_sid")
     )
     # decode the batch key and the stored canonical id from synthetic ids
+    # limit-2 split: the key part keeps any embedded NULs intact (labels
+    # with NUL never reach here — filtered at encode); the stored id's
+    # canonical part is md5 hex, so its first NUL always delimits
     decoded = best.select(
-        F.split(F.expr("substring(_bid, 3)"), "\x00").alias("_lk"),
-        F.split(F.expr("substring(_sid, 3)"), "\x00").getItem(0).alias("_scid"),
+        F.split(F.expr("substring(_bid, 3)"), "\x00", 2).alias("_lk"),
+        F.split(F.expr("substring(_sid, 3)"), "\x00", 2).getItem(0).alias("_scid"),
     ).select(
         F.col("_lk").getItem(0).alias("label"),
         F.col("_lk").getItem(1).alias("_k"),
@@ -474,6 +490,7 @@ def compact_canonicals(
     similarity_threshold: float = 0.8,
     file_format: str = "parquet",
     untouched_edge_types: tuple[str, ...] = ("NEXT_CHUNK", "FROM_DOCUMENT"),
+    resolve_properties: list[str] | None = None,
 ) -> dict:
     """Periodic OFFLINE consolidation of already-stored canonicals — the
     compaction job the per-batch resolver deliberately defers (two
@@ -511,7 +528,11 @@ def compact_canonicals(
     edges = spark.read.table(f"{target}_edges")
     canon = spark.read.table(f"{target}_canon")
 
-    texts = _resolve_texts(nodes, ["name"]).persist()
+    # thread the caller's resolve property through (default "name" for
+    # parity with resolve_batch_incremental): compacting a corpus
+    # resolved on a different property must score that property's text,
+    # not silently fall back to names
+    texts = _resolve_texts(nodes, resolve_properties or ["name"]).persist()
     pairs = candidate_pairs_lsh(texts)
     if not HAVE_RAPIDFUZZ:
         pairs = prefilter_fuzzy_pairs(pairs, texts, similarity_threshold)
