@@ -377,18 +377,29 @@ def minhash_lsh_pairs(
     :func:`minhash_dedup_pairs` derives a corpus-sized cap by default.
     Deterministic either way.
     """
-    banded = signatures.select(
-        "id", F.posexplode(_band_buckets_udf(bands)("sig")).alias("band", "bucket")
+    # bucket arrays materialized BEFORE the posexplode: several
+    # consumers (both sides of the bucket self-join and the bucket-size
+    # cap) would each re-evaluate the bucket kernel, and the explode's
+    # inferred size() filter doubles each evaluation again (measured ~4×
+    # the kernel cost without the checkpoint)
+    pre = signatures.select(
+        "id", _band_buckets_udf(bands)("sig").alias("_bks")
+    ).localCheckpoint(eager=False)
+    banded = pre.select(
+        "id", F.posexplode("_bks").alias("band", "bucket")
     )
     if max_bucket_size is not None:
-        from pyspark.sql import Window
-
-        w = Window.partitionBy("band", "bucket")
-        banded = (
-            banded.withColumn("_bsz", F.count("*").over(w))
-            .where(F.col("_bsz") <= max_bucket_size)
-            .drop("_bsz")
+        # bucket sizes via a map-side-combinable groupBy + join back —
+        # identical filter to the historical count-over-window, without
+        # the window's sort, and the aggregated (band, bucket, n) table
+        # is bucket-count-sized so AQE broadcasts it at bench scale
+        big = (
+            banded.groupBy("band", "bucket")
+            .agg(F.count("*").alias("_bsz"))
+            .where(F.col("_bsz") > max_bucket_size)
+            .select("band", "bucket")
         )
+        banded = banded.join(big, ["band", "bucket"], "left_anti")
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -494,13 +505,24 @@ def minhash_dedup_pairs(
         # needs anyway; cap scales with the corpus (see derived_bucket_cap)
         max_bucket_size = derived_bucket_cap(sigs.count())
     pairs = minhash_lsh_pairs(sigs, bands, max_bucket_size=max_bucket_size)
-    agree = F.aggregate(
-        F.zip_with(
-            "sig_a", "sig_b", lambda x, y: (x == y).cast("int")
-        ),
-        F.lit(0),
-        lambda s, x: s + x,
-    )
+    # slot-agreement count in one Arrow kernel: the zip_with/aggregate
+    # HOF form is excluded from whole-stage codegen and was interpreted
+    # per slot per candidate (measured ~25s executor time for 632k
+    # candidates × 96 slots at sf0.1).  Signatures are always fully
+    # populated (the signature kernel emits a value per slot), so the
+    # integer equality count is exact.
+    import numpy as np
+    from pyspark.sql.types import IntegerType
+
+    @F.pandas_udf(IntegerType())
+    def _agree_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+        if not len(a):
+            return pd.Series([], dtype="int32")
+        A = np.stack([np.asarray(x, dtype=np.int64) for x in a.to_numpy()])
+        B = np.stack([np.asarray(x, dtype=np.int64) for x in b.to_numpy()])
+        return pd.Series((A == B).sum(axis=1).astype("int32"))
+
+    agree = _agree_udf("sig_a", "sig_b")
     survivors = (
         pairs.join(
             sigs.withColumnsRenamed({"id": "id_a", "sig": "sig_a"}), "id_a"
@@ -526,6 +548,9 @@ def minhash_dedup_pairs(
     # (not widen_for_compute: probing .rdd here would force an extra
     # AQE execution of the whole candidate join); one narrow round-robin
     # exchange of the surviving pairs is cheap next to the set algebra.
+    # (Widening BEFORE the est/texts joins was tried and reverted: it
+    # fuses two Python operators and both broadcast builds into one
+    # 32-task stage and measured ~40% slower end to end.)
     sc = df.sparkSession.sparkContext
     scored = score_pairs_jaccard(
         enriched.repartition(sc.defaultParallelism), shingle_k
