@@ -191,10 +191,17 @@ def resolve_exact(
     # materialization the checkpointed pipeline gets from its
     # ResultStore; callers that already persisted these frames see a
     # cache-manager no-op.
+    # coalesce to the session parallelism before the checkpoint: the
+    # graph frames are unions of wide upstream caches (333/660
+    # partitions at bench scale), and checkpointed RDD partition counts
+    # cascade into every downstream join/union (measured ~2000-task jobs
+    # for a 500-row distinct).  coalesce is narrow — the materialization
+    # does the same work in cores-many tasks.
+    sc = nodes.sparkSession.sparkContext
     if not nodes.is_cached:
-        nodes = nodes.persist()
+        nodes = nodes.coalesce(sc.defaultParallelism).localCheckpoint(eager=False)
     if not edges.is_cached:
-        edges = edges.persist()
+        edges = edges.coalesce(sc.defaultParallelism).localCheckpoint(eager=False)
     carried = (
         resolve_property == "name"
         and "start_name" in edges.columns
@@ -257,7 +264,7 @@ def _resolve_exact_carried(
             F.min_by("id", "_ord").alias("_cid"),
             F.count("*").alias("_n_mentions"),
         )
-        .persist()
+        .localCheckpoint(eager=False)
     )
     stats_row = winners.agg(
         # sum over zero groups is NULL; the mapping path's count(*) gives
@@ -272,7 +279,7 @@ def _resolve_exact_carried(
     # union+prune lineage through this join
     canonical_rows = scoped.join(
         winners.select(F.col("_cid").alias("id")), "id"
-    ).persist()
+    ).localCheckpoint(eager=False)
     new_nodes = others.unionByName(canonical_rows)
 
     # (label, key) → canonical id: one row per canonical entity
@@ -778,10 +785,16 @@ def resolve_similarity(
     # coalesce is narrow (no shuffle) and a no-op when the input already
     # has fewer partitions; real parallelism is restored by the banding
     # join's own exchanges at scale.
+    # localCheckpoint, not persist: persist caches execution but every
+    # downstream ACTION still re-ANALYZES the full logical lineage (the
+    # whole extraction/union/prune DAG plus the ML transforms) — the
+    # fuzzy phase runs ~24 jobs and the repeated analysis showed up as
+    # multi-second driver gaps with zero tasks running.  The checkpoint
+    # truncates the plan to a flat RDD scan for every consumer.
     texts = (
         _resolve_texts(nodes, props)
         .coalesce(sc.defaultParallelism)
-        .persist()
+        .localCheckpoint(eager=False)
     )
     n_scope = texts.count()
     pairs = candidate_pairs_lsh(texts, jaccard_distance=lsh_jaccard_distance)
@@ -806,12 +819,13 @@ def resolve_similarity(
     rep = with_ord.groupBy("canonical_id").agg(
         F.min_by("id", "_ord").alias("rep_id")
     )
-    # persist: mapping feeds the stats count plus three joins in
-    # apply_merge_mapping (see resolve_exact)
+    # localCheckpoint: mapping feeds the stats count plus three joins in
+    # apply_merge_mapping — materializes once AND truncates the
+    # LSH/scorer lineage out of every downstream plan analysis
     mapping = (
         with_ord.join(rep, "canonical_id")
         .select("id", F.col("rep_id").alias("canonical_id"))
-        .persist()
+        .localCheckpoint(eager=False)
     )
     n_merged = mapping.where(F.col("id") != F.col("canonical_id")).count()
     new_nodes, new_edges = apply_merge_mapping(
