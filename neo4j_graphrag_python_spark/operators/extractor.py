@@ -549,6 +549,15 @@ def extract_from_documents(
     fused = small.mapInPandas(fused_batches, schema=GRAPH_ROWS_FIELDS)
 
     whales = src.where(is_whale)
+    # existence probe (one cheap scan of text lengths, stops at the first
+    # hit): when the corpus has no whale documents — the common case —
+    # the whale union branches would still contribute their empty
+    # partitions (~190 at bench scale) to this frame AND to every
+    # downstream scan of its persisted form; skipping the union keeps the
+    # output at the fused path's partition count.  Output rows identical
+    # (the skipped branches are provably empty).
+    if whales.limit(1).count() == 0:
+        return fused
     # staged route for whales: sequential per-doc split (cheap string
     # scan), then the expensive model calls spread across the salted
     # chunk-hash repartition

@@ -424,10 +424,23 @@ def repetition_stats(
     row per distinct gram.  Docs shorter than n tokens survive via the
     left join (0 grams, 0.0 fraction).
     """
+    from neo4j_graphrag_python_spark.operators.dedup import widen_for_compute
+
     ids = df.select(F.col(id_col).alias("id"))
-    grams = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(_ngram_array(_tokens(F.col(text_col)), n)).alias("gram"),
+    # widen before the n-gram explode (I/O-sized scans are 1-2 tasks at
+    # bench scale); explode_outer + null filter so the inferred
+    # size(ngrams)>0 filter does not push the gram construction below
+    # the widening exchange (identical rows: explode drops empty arrays,
+    # explode_outer turns them into one NULL row which the filter drops)
+    grams = (
+        widen_for_compute(df)
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode_outer(_ngram_array(_tokens(F.col(text_col)), n)).alias(
+                "gram"
+            ),
+        )
+        .where(F.col("gram").isNotNull())
     )
     per_gram = grams.groupBy("id", "gram").agg(F.count("*").alias("c"))
     per_doc = per_gram.groupBy("id").agg(

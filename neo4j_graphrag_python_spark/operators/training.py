@@ -305,11 +305,22 @@ def bpe_word_counts(
     ``_tokens`` rule the scoring operators use).  ONE corpus scan + one
     map-side-combinable groupBy; everything after trains on this
     vocabulary-bounded table, never the corpus."""
+    from neo4j_graphrag_python_spark.operators.dedup import widen_for_compute
     from neo4j_graphrag_python_spark.operators.text_analysis import _tokens
 
+    # widen before the tokenize+explode (I/O-sized scans are 1-2 tasks
+    # at bench scale); explode_outer + null filter so the optimizer does
+    # not infer a size(tokens)>0 filter and push the tokenization below
+    # the widening exchange (identical rows: the '' filter already drops
+    # what explode_outer adds for empty docs, and null words join it)
     return (
-        df.select(F.explode(_tokens(F.col(text_col))).alias("word"))
-        .where((F.col("word") != "") & ~F.col("word").contains(_BPE_D))
+        widen_for_compute(df)
+        .select(F.explode_outer(_tokens(F.col(text_col))).alias("word"))
+        .where(
+            F.col("word").isNotNull()
+            & (F.col("word") != "")
+            & ~F.col("word").contains(_BPE_D)
+        )
         .groupBy("word")
         .agg(F.count("*").alias("cnt"))
     )
