@@ -198,10 +198,30 @@ def resolve_exact(
     # for a 500-row distinct).  coalesce is narrow — the materialization
     # does the same work in cores-many tasks.
     sc = nodes.sparkSession.sparkContext
+    prefetch_edges = False
     if not nodes.is_cached:
         nodes = nodes.coalesce(sc.defaultParallelism).localCheckpoint(eager=False)
     if not edges.is_cached:
         edges = edges.coalesce(sc.defaultParallelism).localCheckpoint(eager=False)
+        prefetch_edges = True
+    if prefetch_edges:
+        # overlap the edges materialization with the canonical-winner
+        # computation below (guide-§2.6 back-fill): the two are
+        # independent one-pass jobs over the upstream caches, and
+        # running them sequentially left most of the cluster idle during
+        # each one's tail.  Best-effort — a failure here simply
+        # resurfaces in the first real edges consumer.
+        from pyspark import InheritableThread
+
+        _edges = edges
+
+        def _materialize():
+            try:
+                _edges.count()
+            except Exception:
+                pass
+
+        InheritableThread(target=_materialize, daemon=True).start()
     carried = (
         resolve_property == "name"
         and "start_name" in edges.columns
