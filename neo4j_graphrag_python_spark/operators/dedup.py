@@ -6,10 +6,11 @@ text_col) and return either a per-document assignment or candidate
 duplicate pairs.  Design points for scale:
 
   * exact:      one hash-groupBy (map-side combinable, AQE-skew safe);
-  * MinHash:    signatures computed in one pass (JVM-side xxhash64 over
-                shingles via higher-order functions — no Python), LSH
-                banding by exploding (band, band_hash) keys and
-                self-joining on the band bucket — the classic
+  * MinHash:    signatures computed in one pass (an Arrow numpy kernel
+                bit-compatible with Spark's xxhash64 — round 7; the
+                historical JVM HOF form was excluded from whole-stage
+                codegen), LSH banding by exploding (band, band_hash)
+                keys and self-joining on the band bucket — the classic
                 shingle→minhash→band→bucket-join;
   * SimHash:    64-bit fingerprint via token-hash bit voting (pandas UDF,
                 Arrow-batched, numpy bit ops); near-dups = fingerprints
