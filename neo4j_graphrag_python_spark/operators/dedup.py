@@ -541,17 +541,19 @@ def minhash_dedup_pairs(
         )
         .join(texts.withColumnsRenamed({"id": "id_b", "text": "text_b"}), "id_b")
     )
-    # repartition before the Python rescore: the scorer's cost is per
-    # PAIR (two shingle-set builds over full texts), but AQE sizes the
-    # post-join partitioning by BYTES — a few MB of surviving pairs
-    # coalesce to a handful of partitions and the rescore stage runs
-    # near-serial (measured 21s over 5 tasks at sf0.1).  Unconditional
-    # (not widen_for_compute: probing .rdd here would force an extra
-    # AQE execution of the whole candidate join); one narrow round-robin
-    # exchange of the surviving pairs is cheap next to the set algebra.
-    # (Widening BEFORE the est/texts joins was tried and reverted: it
-    # fuses two Python operators and both broadcast builds into one
-    # 32-task stage and measured ~40% slower end to end.)
+    # repartition AFTER the texts join, right before the Python rescore:
+    # the scorer's cost is per PAIR (two shingle-set builds over full
+    # texts), but AQE sizes post-join partitioning by BYTES — a few MB
+    # of surviving pairs coalesce to a handful of partitions and the
+    # rescore runs near-serial (measured 21s over 5 tasks at sf0.1).
+    # Two variants were measured and rejected: widening BEFORE the est
+    # filter fuses two Python operators plus both broadcast builds into
+    # one stage (~40% slower at sf0.1), and repartitioning the narrow id
+    # pairs BETWEEN est and the texts join forces the texts attach into
+    # a sort-merge join whose sort + rescore fuse into one stage (~20%
+    # slower at sf3, where the texts side no longer broadcasts).  The
+    # text-pair exchange here is linear in the surviving pairs — the
+    # rescore input shuffles exactly once.
     sc = df.sparkSession.sparkContext
     scored = score_pairs_jaccard(
         enriched.repartition(sc.defaultParallelism), shingle_k
