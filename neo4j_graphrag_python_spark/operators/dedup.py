@@ -509,9 +509,12 @@ def minhash_dedup_pairs(
     # slot-agreement count in one Arrow kernel: the zip_with/aggregate
     # HOF form is excluded from whole-stage codegen and was interpreted
     # per slot per candidate (measured ~25s executor time for 632k
-    # candidates × 96 slots at sf0.1).  Signatures are always fully
-    # populated (the signature kernel emits a value per slot), so the
-    # integer equality count is exact.
+    # candidates × 96 slots at sf0.1; a flat 96-term sum of
+    # getItem-equality expressions was measured too and came out 3×
+    # SLOWER than this kernel — the ~500-node expression falls out of
+    # whole-stage codegen).  Signatures are always fully populated (the
+    # signature kernel emits a value per slot), so the integer equality
+    # count is exact.
     import numpy as np
     from pyspark.sql.types import IntegerType
 
