@@ -68,9 +68,29 @@ def split_text(
     approximate_start = 0
     skip_adjust_chunk_start = False
     end = 0
+    # Divergence guard.  The reference loop (fixed_size_splitter.py:124-149)
+    # is a deterministic state machine over (approximate_start,
+    # skip_adjust_chunk_start): a word longer than `step` can pull the
+    # adjusted start back to the same boundary every iteration, so the
+    # reference hangs, re-appending the same chunks forever (e.g.
+    # " bbbbbb dddddddddddd" at chunk_size=10, overlap=5).  A state that
+    # repeats is therefore a proof of non-termination — and conversely a
+    # terminating reference run never repeats a state — so: replay the
+    # reference byte-for-byte until a state repeats, then switch to plain
+    # fixed-size stepping (the reference's approximate=False arm), which
+    # strictly advances and preserves full coverage.  Outputs are identical
+    # to the reference on every input where the reference terminates.
+    seen_states: set[Tuple[int, bool]] = set()
+    diverged = False
 
     while end < text_length:
-        if approximate:
+        if approximate and not diverged:
+            state = (approximate_start, skip_adjust_chunk_start)
+            if state in seen_states:
+                diverged = True
+            else:
+                seen_states.add(state)
+        if approximate and not diverged:
             start = (
                 approximate_start
                 if skip_adjust_chunk_start
@@ -80,7 +100,7 @@ def split_text(
             end = adjust_chunk_end(text, start, approximate_end)
             skip_adjust_chunk_start = end == approximate_end
         else:
-            start = approximate_start
+            start = min(approximate_start, text_length - 1)
             end = min(start + chunk_size, text_length)
         spans.append((start, end, text[start:end]))
         approximate_start = start + step

@@ -88,6 +88,37 @@ def test_invalid_overlap() -> None:
 
 
 @pytest.mark.parametrize(
+    "text, size, overlap",
+    [
+        # a word longer than step pulls the adjusted start back to the
+        # same boundary every iteration — the reference's own run loop
+        # (fixed_size_splitter.py:124-149) hangs on these; the port must
+        # terminate with full coverage instead (splitting.py divergence
+        # guard).  Period-1 fixed point:
+        (" bbbbbb dddddddddddd", 10, 5),
+        # chunk_size > 2*step: the cycle re-forms around a one-shot
+        # mid-word fallback (period-4 shape) — only whole-state
+        # detection breaks it
+        (" " + "b" * 9 + " cc " + "d" * 30, 12, 9),
+        # long unbroken token mid-corpus at a production-like ratio
+        ("lead " + "w" * 900 + " tail " + "v" * 900 + " end", 600, 400),
+    ],
+)
+def test_split_terminates_where_reference_diverges(
+    text: str, size: int, overlap: int
+) -> None:
+    spans = split_text(text, size, overlap, approximate=True)
+    covered: set[int] = set()
+    for s, e, chunk in spans:
+        assert text[s:e] == chunk
+        assert e > s
+        covered.update(range(s, e))
+    assert covered == set(range(len(text)))
+    # bounded output: far below the runaway regime
+    assert len(spans) <= 4 * (len(text) // max(1, size - overlap) + 2)
+
+
+@pytest.mark.parametrize(
     "text, approximate_start, expected",
     [
         ("Hello World", 0, 0),
